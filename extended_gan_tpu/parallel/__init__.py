@@ -1,0 +1,15 @@
+from .mesh import (
+    MeshContext,
+    initialize_distributed,
+    shard_params_tp,
+    cross_replica_mean,
+    local_batch_size,
+)
+
+__all__ = [
+    "MeshContext",
+    "initialize_distributed",
+    "shard_params_tp",
+    "cross_replica_mean",
+    "local_batch_size",
+]

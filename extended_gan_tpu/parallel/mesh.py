@@ -1,0 +1,170 @@
+"""Device-mesh runtime.
+
+The reference is single-process / single-device (SURVEY.md section 2.7: zero
+``torch.distributed`` usage). This module is the parallelism layer the
+reference never had, built the TPU way:
+
+- a ``jax.sharding.Mesh`` over all local devices with named axes
+  ``("data", "model")``,
+- batch tensors sharded on ``data`` (DP over ICI; XLA inserts the psum for
+  gradient reduction automatically because params are replicated),
+- optionally, wide conv-channel axes sharded on ``model`` (TP) — see
+  :func:`shard_params_tp`,
+- host->device transfer as a single sharded ``jax.device_put`` so each chip
+  only receives its batch shard.
+
+Multi-host extension point: ``initialize_distributed()`` wraps
+``jax.distributed.initialize`` so the same mesh code spans hosts (DCN) when
+launched under a multi-host runtime.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def initialize_distributed(**kwargs) -> None:
+    """Initialize the multi-host JAX runtime (no-op if single-process)."""
+    try:
+        jax.distributed.initialize(**kwargs)
+    except (RuntimeError, ValueError):
+        pass  # already initialized or single-process
+
+
+@dataclasses.dataclass
+class MeshContext:
+    """A named device mesh plus the shardings every trainer needs."""
+
+    mesh: Mesh
+
+    # ---------------------------------------------------------- constructors
+    @classmethod
+    def create(
+        cls,
+        data: int | None = None,
+        model: int = 1,
+        *,
+        devices: Sequence[jax.Device] | None = None,
+    ) -> "MeshContext":
+        devices = list(devices if devices is not None else jax.devices())
+        n = len(devices)
+        if data is None:
+            data = n // model
+        if data * model != n:
+            raise ValueError(
+                f"mesh {data}x{model} does not match {n} devices"
+            )
+        arr = np.array(devices).reshape(data, model)
+        return cls(mesh=Mesh(arr, axis_names=("data", "model")))
+
+    # ------------------------------------------------------------ properties
+    @property
+    def n_data(self) -> int:
+        return self.mesh.shape["data"]
+
+    @property
+    def n_model(self) -> int:
+        return self.mesh.shape["model"]
+
+    @property
+    def n_devices(self) -> int:
+        return math.prod(self.mesh.shape.values())
+
+    # ------------------------------------------------------------- shardings
+    def sharding(self, *spec) -> NamedSharding:
+        return NamedSharding(self.mesh, P(*spec))
+
+    @property
+    def batch_sharding(self) -> NamedSharding:
+        """Leading axis sharded over the data axis; rest replicated."""
+        return self.sharding("data")
+
+    @property
+    def replicated(self) -> NamedSharding:
+        return self.sharding()
+
+    # ------------------------------------------------------------- transfers
+    def put_batch(self, *arrays: Any):
+        """Async host->device transfer of batch arrays, sharded on axis 0.
+
+        Replaces the reference's per-batch ``.to(device)`` blocking copy
+        (dcgan/data_loader.py:81-84) with a sharded device_put: each chip
+        receives only its slice, over DMA, without a host gather.
+        """
+        out = tuple(
+            jax.device_put(a, self.batch_sharding) for a in arrays
+        )
+        return out[0] if len(out) == 1 else out
+
+    def put_replicated(self, tree: Any):
+        return jax.device_put(tree, self.replicated)
+
+    def pad_to_batch_multiple(self, *arrays: np.ndarray, batch_size: int):
+        """Pad arrays on axis 0 to ``batch_size`` and return a sample mask.
+
+        The reference tolerates ragged last batches (dcgan/train.py:99-100).
+        Under jit we keep shapes static: pad to the fixed batch size and
+        carry a float mask so masked reductions reproduce the reference's
+        exact statistics.
+        """
+        n = arrays[0].shape[0]
+        assert n <= batch_size, (n, batch_size)
+        mask = np.zeros((batch_size,), np.float32)
+        mask[:n] = 1.0
+        padded = []
+        for a in arrays:
+            if n == batch_size:
+                padded.append(a)
+            else:
+                pad = np.zeros((batch_size - n,) + a.shape[1:], a.dtype)
+                padded.append(np.concatenate([a, pad], axis=0))
+        return (*padded, mask)
+
+
+def shard_params_tp(params, mesh_ctx: MeshContext, min_channels: int = 256):
+    """Tensor-parallel sharding of wide conv kernels over the ``model`` axis.
+
+    Any conv kernel (H, W, Cin, Cout) with Cout divisible by the model-axis
+    size and >= min_channels gets its output-channel axis sharded; XLA then
+    all-gathers activations where needed. With model=1 this is a no-op
+    (fully replicated).
+    """
+    n_model = mesh_ctx.n_model
+
+    def spec_for(path, leaf):
+        if (
+            n_model > 1
+            and hasattr(leaf, "ndim")
+            and leaf.ndim == 4
+            and leaf.shape[-1] >= min_channels
+            and leaf.shape[-1] % n_model == 0
+        ):
+            return mesh_ctx.sharding(None, None, None, "model")
+        return mesh_ctx.replicated
+
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    treedef = jax.tree_util.tree_structure(params)
+    shardings = [spec_for(p, l) for p, l in flat]
+    leaves = [jax.device_put(l, s) for (_, l), s in zip(flat, shardings)]
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+def cross_replica_mean(x, axis_name: str = "data"):
+    """pmean helper for code running under shard_map."""
+    return jax.lax.pmean(x, axis_name)
+
+
+def local_batch_size(global_batch: int, mesh_ctx: MeshContext) -> int:
+    if global_batch % mesh_ctx.n_data != 0:
+        raise ValueError(
+            f"global batch {global_batch} not divisible by data axis "
+            f"{mesh_ctx.n_data}"
+        )
+    return global_batch // mesh_ctx.n_data

@@ -1,0 +1,114 @@
+"""Experiment configuration.
+
+The reference drives experiments with exec'd ``config.py`` files holding
+UPPER_CASE variables that are lowercased into ``train(**kwargs)``
+(convolutional_gat/generate_experiment.py:16-46), sometimes holding live
+torch objects. We keep the experiment-dir convention (a directory with a
+``config.py`` plus committed ``history.json`` / ``pred_*.png`` artifacts) but
+make configs declarative: plain Python literals only, validated into
+:class:`ExperimentConfig`. Optimizers/criteria are named by string and
+resolved by the trainer, so configs are hardware- and framework-agnostic.
+"""
+
+from __future__ import annotations
+
+import ast
+import dataclasses
+import json
+import os
+from typing import Any
+
+
+@dataclasses.dataclass
+class ExperimentConfig:
+    """Everything convolutional_gat's train() accepts (train.py:158-177),
+    plus TPU-specific knobs (precision, mesh axes)."""
+
+    model_type: str = "temporal"
+    mapping_type: str = "linear"
+    dataset: str = "kmni"
+    preprocessed_folder: str = ""
+    output_path: str = ""
+    epochs: int = 10
+    train_batch_size: int = 32
+    test_batch_size: int = 64
+    learning_rate: float = 1e-3
+    lr_step: int = 1
+    gamma: float = 0.95
+    plot: bool = False
+    criterion: str = "mse"
+    optimizer: str = "adam"
+    weight_decay: float = 0.01
+    downsample_size: tuple[int, int] = (256, 256)
+    test_first: bool = False
+    reduce_lr_on_plateau: bool = False
+    # --- TPU-native additions (absent from the reference) -----------------
+    precision: str = "f32"  # "f32" | "bf16"
+    data_axis: int | None = None  # devices on the data-parallel mesh axis
+    model_axis: int = 1  # devices on the model-parallel mesh axis
+    seed: int = 369
+
+    def to_dict(self) -> dict[str, Any]:
+        return dataclasses.asdict(self)
+
+
+_TUPLE_FIELDS = {"downsample_size"}
+
+
+def _literal_env(path: str) -> dict[str, Any]:
+    """Evaluate UPPER_CASE assignments in a config.py as literals only.
+
+    This replaces the reference's ``exec(open(...).read())``
+    (generate_experiment.py:16) — no arbitrary code runs, only
+    ``NAME = <literal>`` assignments are honoured. Non-literal lines (e.g.
+    a stray import) are skipped with a warning instead of crashing, which
+    also tolerates reference-era configs that held live torch objects.
+    """
+    with open(path) as f:
+        tree = ast.parse(f.read(), filename=path)
+    out: dict[str, Any] = {}
+    for node in tree.body:
+        if isinstance(node, ast.Assign) and len(node.targets) == 1:
+            target = node.targets[0]
+            if isinstance(target, ast.Name) and target.id.isupper():
+                try:
+                    out[target.id] = ast.literal_eval(node.value)
+                except ValueError:
+                    # Named constants like OPTIMIZER = torch.optim.Adam in
+                    # legacy configs: keep the dotted name's last part.
+                    if isinstance(node.value, ast.Attribute):
+                        out[target.id] = node.value.attr.lower()
+                    elif isinstance(node.value, ast.Call):
+                        fn = node.value.func
+                        name = fn.attr if isinstance(fn, ast.Attribute) else getattr(fn, "id", "")
+                        out[target.id] = name.replace("Loss", "").lower()
+    return out
+
+
+def load_experiment_config(exp_dir: str) -> ExperimentConfig:
+    """Load ``<exp_dir>/config.py`` into an ExperimentConfig."""
+    variables = _literal_env(os.path.join(exp_dir, "config.py"))
+    kwargs = {k.lower(): v for k, v in variables.items()}
+    known = {f.name for f in dataclasses.fields(ExperimentConfig)}
+    # Legacy alias: MODEL = <class> configs predate MODEL_TYPE.
+    kwargs.pop("model", None)
+    extra = {k: v for k, v in kwargs.items() if k not in known}
+    kwargs = {k: v for k, v in kwargs.items() if k in known}
+    for f in _TUPLE_FIELDS:
+        if f in kwargs and isinstance(kwargs[f], list):
+            kwargs[f] = tuple(kwargs[f])
+    cfg = ExperimentConfig(**kwargs)
+    cfg.output_path = exp_dir
+    if extra:
+        print(f"[config] ignoring unknown keys: {sorted(extra)}")
+    return cfg
+
+
+def dump_config(cfg: ExperimentConfig):
+    print(
+        json.dumps(
+            {k.upper(): v for k, v in cfg.to_dict().items()},
+            indent=4,
+            default=str,
+        )
+    )

@@ -1,0 +1,54 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from extended_gan_tpu.parallel import MeshContext, local_batch_size
+
+
+def test_mesh_creation_8_devices():
+    ctx = MeshContext.create()
+    assert ctx.n_devices == 8
+    assert ctx.n_data == 8
+    assert ctx.n_model == 1
+
+
+def test_mesh_2d():
+    ctx = MeshContext.create(data=4, model=2)
+    assert ctx.n_data == 4 and ctx.n_model == 2
+
+
+def test_put_batch_shards_leading_axis():
+    ctx = MeshContext.create()
+    x = np.arange(16 * 3, dtype=np.float32).reshape(16, 3)
+    xd = ctx.put_batch(x)
+    assert xd.sharding.is_equivalent_to(ctx.batch_sharding, ndim=2)
+    # each device holds 16/8 = 2 rows
+    shard = xd.addressable_shards[0]
+    assert shard.data.shape == (2, 3)
+    np.testing.assert_allclose(np.asarray(xd), x)
+
+
+def test_sharded_computation_matches_replicated():
+    ctx = MeshContext.create()
+    x = np.random.RandomState(0).randn(16, 8).astype(np.float32)
+    xd = ctx.put_batch(x)
+
+    @jax.jit
+    def f(a):
+        return jnp.sum(a * a, axis=1)
+
+    np.testing.assert_allclose(np.asarray(f(xd)), np.asarray(f(x)), rtol=1e-6)
+
+
+def test_pad_to_batch_multiple():
+    ctx = MeshContext.create()
+    x = np.ones((5, 2), np.float32)
+    xp, mask = ctx.pad_to_batch_multiple(x, batch_size=8)
+    assert xp.shape == (8, 2)
+    assert mask.sum() == 5
+    assert (xp[5:] == 0).all()
+
+
+def test_local_batch_size():
+    ctx = MeshContext.create()
+    assert local_batch_size(32, ctx) == 4
