@@ -1,0 +1,81 @@
+"""Benchmark: fused DCGAN adversarial train step, steps/sec on one chip.
+
+Prints exactly ONE JSON line to stdout:
+  {"metric": ..., "value": N, "unit": "steps/sec", "vs_baseline": N}
+
+Workload: the reference's headline adversarial loop (dcgan/train.py:96-164)
+at its real shapes — batch 32, 64x64 frames, nc=4, ndf=ngf=64, float32 —
+i.e. the ~9 forward/backward passes + 3 Adam updates per batch, here fused
+into ONE XLA program.
+
+Baseline ("vs_baseline"): BASELINE.json targets >= 5x a V100 running the
+PyTorch reference. The reference publishes no steps/sec; we use a nominal
+V100 estimate of 40 steps/sec for this step (9 eager graph launches of
+small-batch convs + BN at ~2.5-3 ms each on a V100 — generous to the
+reference), so target = 200 steps/sec and vs_baseline = value / 200.
+vs_baseline >= 1.0 means the 5x-V100 target is met.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+V100_ESTIMATE_STEPS_PER_SEC = 40.0
+TARGET_MULTIPLIER = 5.0
+TARGET = V100_ESTIMATE_STEPS_PER_SEC * TARGET_MULTIPLIER
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from extended_gan_tpu.core import KeySeq
+    from extended_gan_tpu.parallel import MeshContext
+    from extended_gan_tpu.train.dcgan_driver import DEFAULT_PARAMS, build_dcgan
+    from extended_gan_tpu.train.dcgan_trainer import make_dcgan_train_step
+
+    params = dict(DEFAULT_PARAMS)
+    batch = 32  # the size train() actually uses (dcgan/train.py:241-248)
+    print(f"platform: {jax.devices()[0].platform} "
+          f"device: {jax.devices()[0]}", file=sys.stderr)
+
+    mesh = MeshContext.create(data=1, model=1)  # single chip
+    models, txs, states, keys = build_dcgan(params, precision="f32", seed=0)
+    states = mesh.put_replicated(states)
+    step = make_dcgan_train_step(*models, *txs)
+
+    rng = np.random.RandomState(0)
+    x = rng.rand(batch, 64, 64, 4).astype(np.float32)
+    y = rng.rand(batch, 64, 64, 4).astype(np.float32)
+    mask = np.ones(batch, np.float32)
+    x, y, mask = mesh.put_batch(x, y, mask)
+
+    ks = KeySeq(0)
+    # warmup / compile
+    for _ in range(3):
+        states, logs = step(states, x, y, mask, ks.next())
+    jax.block_until_ready(logs["errG"])
+
+    n_steps = 50
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        states, logs = step(states, x, y, mask, ks.next())
+    jax.block_until_ready(logs["errG"])
+    dt = time.perf_counter() - t0
+    steps_per_sec = n_steps / dt
+
+    print(f"fused dcgan step: {1e3 * dt / n_steps:.3f} ms/step",
+          file=sys.stderr)
+    print(json.dumps({
+        "metric": "dcgan_fused_adversarial_train_steps_per_sec_f32_b32",
+        "value": round(steps_per_sec, 3),
+        "unit": "steps/sec",
+        "vs_baseline": round(steps_per_sec / TARGET, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

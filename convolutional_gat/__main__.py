@@ -1,0 +1,57 @@
+"""CLI parity with /root/reference/convolutional_gat/__main__.py:6-19:
+actions `train` and `generate_experiment`."""
+
+import argparse
+
+from extended_gan_tpu.train.gat_driver import train
+
+from .generate_experiment import generate_experiment
+
+
+def main():
+    parser = argparse.ArgumentParser(prog="convolutional_gat")
+    parser.add_argument("action", choices=("train", "generate_experiment"))
+    parser.add_argument("--train-batch-size", type=int, default=32)
+    parser.add_argument("--test-batch-size", type=int, default=64)
+    parser.add_argument("--exp_folder_name", type=str, default="")
+    parser.add_argument("--model-type", type=str, default="temporal")
+    parser.add_argument("--mapping-type", type=str, default="linear")
+    parser.add_argument("--dataset", type=str, default="kmni")
+    parser.add_argument("--preprocessed-folder", type=str, default="")
+    parser.add_argument("--epochs", type=int, default=10)
+    parser.add_argument("--learning-rate", type=float, default=1e-3)
+    parser.add_argument("--downsample-size", type=int, nargs=2,
+                        default=(20, 20))
+    parser.add_argument("--output-path", type=str, default="")
+    parser.add_argument("--precision", choices=("f32", "bf16"),
+                        default="f32")
+    parser.add_argument("--max-batches", type=int, default=0)
+    args = parser.parse_args()
+    if args.action == "train":
+        train(
+            model_type=args.model_type,
+            mapping_type=args.mapping_type,
+            optimizer="adam",
+            output_path=args.output_path,
+            train_batch_size=args.train_batch_size,
+            test_batch_size=args.test_batch_size,
+            epochs=args.epochs,
+            learning_rate=args.learning_rate,
+            lr_step=1,
+            gamma=0.95,
+            dataset=args.dataset,
+            preprocessed_folder=args.preprocessed_folder,
+            downsample_size=tuple(args.downsample_size),
+            precision=args.precision,
+            max_batches=args.max_batches,
+        )
+    elif args.action == "generate_experiment":
+        generate_experiment(
+            args.exp_folder_name,
+            train_batch_size=args.train_batch_size,
+            max_batches=args.max_batches,
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,38 @@
+import argparse
+
+from extended_gan_tpu.train.cyclegan_driver import train
+
+
+def main():
+    parser = argparse.ArgumentParser(prog="cycle_gan")
+    parser.add_argument("--data-location", type=str, default=None)
+    parser.add_argument("--epochs", type=int, default=10)
+    parser.add_argument("--train-batch-size", type=int, default=32)
+    parser.add_argument("--test-batch-size", type=int, default=64)
+    parser.add_argument("--imsize", type=int, default=64)
+    parser.add_argument("--ndf", type=int, default=64)
+    parser.add_argument("--cycle-lambda", type=float, default=10.0)
+    parser.add_argument("--precision", choices=("f32", "bf16"), default="f32")
+    parser.add_argument("--seed", type=int, default=369)
+    parser.add_argument("--max-batches", type=int, default=0)
+    parser.add_argument("--synthetic", action="store_true")
+    parser.add_argument("--out-dir", type=str, default=None)
+    args = parser.parse_args()
+    train(
+        data_location=args.data_location,
+        epochs=args.epochs,
+        train_batch_size=args.train_batch_size,
+        test_batch_size=args.test_batch_size,
+        imsize=args.imsize,
+        ndf=args.ndf,
+        cycle_lambda=args.cycle_lambda,
+        precision=args.precision,
+        seed=args.seed,
+        max_batches=args.max_batches,
+        synthetic=args.synthetic,
+        out_dir=args.out_dir,
+    )
+
+
+if __name__ == "__main__":
+    main()

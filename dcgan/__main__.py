@@ -1,0 +1,34 @@
+import argparse
+
+from extended_gan_tpu.train.dcgan_driver import train
+
+
+def main():
+    parser = argparse.ArgumentParser(prog="dcgan")
+    parser.add_argument("--data-location", type=str, default=None)
+    parser.add_argument("--epochs", type=int, default=None)
+    parser.add_argument("--train-batch-size", type=int, default=32)
+    parser.add_argument("--test-batch-size", type=int, default=64)
+    parser.add_argument("--precision", choices=("f32", "bf16"), default="f32")
+    parser.add_argument("--seed", type=int, default=369)
+    parser.add_argument("--max-batches", type=int, default=0,
+                        help="truncate each epoch (smoke runs)")
+    parser.add_argument("--synthetic", action="store_true",
+                        help="force the synthetic dataset")
+    parser.add_argument("--out-dir", type=str, default=None)
+    args = parser.parse_args()
+    train(
+        data_location=args.data_location,
+        epochs=args.epochs,
+        train_batch_size=args.train_batch_size,
+        test_batch_size=args.test_batch_size,
+        precision=args.precision,
+        seed=args.seed,
+        max_batches=args.max_batches,
+        synthetic=args.synthetic,
+        out_dir=args.out_dir,
+    )
+
+
+if __name__ == "__main__":
+    main()

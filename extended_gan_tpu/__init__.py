@@ -15,3 +15,23 @@ re-designed TPU-first:
 """
 
 __version__ = "0.1.0"
+
+# ---------------------------------------------------------------------------
+# Persistent XLA compilation cache. Remote-compiled TPU backends pay tens of
+# seconds per program; caching makes every CLI/bench rerun start hot.
+# Opt out with EGT_COMPILATION_CACHE=0.
+# ---------------------------------------------------------------------------
+import os as _os
+
+if _os.environ.get("EGT_COMPILATION_CACHE", "1") != "0":
+    import jax as _jax
+
+    _cache_dir = _os.path.expanduser(
+        _os.environ.get("EGT_CACHE_DIR", "~/.cache/egt_jax_cache")
+    )
+    try:
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        _jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception:  # pragma: no cover - older jax
+        pass

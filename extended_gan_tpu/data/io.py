@@ -1,0 +1,62 @@
+"""Tensor-file IO.
+
+The reference's datasets live on disk as torch ``.pt`` tensors
+(preprocess/coastal_sea_data_preprocess.py:17, kmni preprocessing) and
+``.h5`` files with key "default" (preprocess/train_test_split.py:33-37).
+We read both, plus ``.npy``/``.npz`` as the native format of this
+framework. torch (CPU wheel) is used ONLY here, as a file-format codec —
+never for compute.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+
+def load_array(path: str) -> np.ndarray:
+    """Load a tensor file (.pt / .npy / .npz / .h5) as a numpy array."""
+    if path.endswith(".pt"):
+        import torch  # file-format codec only
+
+        return torch.load(path, map_location="cpu", weights_only=True).numpy()
+    if path.endswith(".npy"):
+        return np.load(path)
+    if path.endswith(".npz"):
+        with np.load(path) as z:
+            return z[list(z.keys())[0]]
+    if path.endswith((".h5", ".hdf5")):
+        import h5py
+
+        with h5py.File(path, "r") as f:
+            return f["default"][:]
+    raise ValueError(f"unknown tensor file format: {path}")
+
+
+def save_array(path: str, arr: np.ndarray):
+    if path.endswith(".pt"):
+        import torch
+
+        torch.save(torch.from_numpy(np.ascontiguousarray(arr)), path)
+    elif path.endswith(".npy"):
+        np.save(path, arr)
+    elif path.endswith((".h5", ".hdf5")):
+        import h5py
+
+        with h5py.File(path, "w") as f:
+            f["default"] = arr
+    else:
+        raise ValueError(f"unknown tensor file format: {path}")
+
+
+def listdir(folder: str):
+    """Sorted (name, abspath) pairs — clone of
+    convolutional_gat/preprocessing/utils.py:4-8."""
+    return [
+        (name, os.path.join(folder, name)) for name in sorted(os.listdir(folder))
+    ]
+
+
+def mkdir(path: str):
+    os.makedirs(path, exist_ok=True)

@@ -1,0 +1,494 @@
+"""File-streaming batch loaders.
+
+Capability clones of the reference's four custom ``DataLoader`` iterator
+families, with identical epoch statistics (file-at-a-time streaming, window
+construction, remainder handling, within-batch shuffling):
+
+- :class:`CoastalSeaLoader`  == /root/reference/data_loader.py:7-98 and the
+  cycle_gan copy (.pt files, 2*seq_len windows),
+- :class:`H5SequenceLoader`  == /root/reference/dcgan/data_loader.py:9-120
+  (.h5 files, in+out windows built per batch),
+- :class:`KmniLoader`        == kmni_data_loader.py:16-167 (.pt videos,
+  8-frame windows -> 4-in/4-out, /254 + power normalization, optional
+  2x3 node mosaic, (B, H, W, T, V) layout),
+- :class:`AraiLoader`        == arai_data_loader.py:14-226 (.pt region
+  blocks, background-thread prefetch, metadata.json lengths).
+
+Differences from the reference are host-side performance only: windows are
+stride-tricks views (zero copy), shuffling uses a seeded numpy Generator
+instead of global torch state, and batches stay numpy — device transfer is
+the trainer's job (sharded ``device_put`` via MeshContext, overlapped by
+:class:`Prefetcher`).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import queue
+import threading
+from typing import Iterator
+
+import numpy as np
+
+from .io import load_array
+from .windowing import sliding_windows, truncate_to_multiple
+
+
+def _list_files(folder: str, rng: np.random.Generator | None):
+    files = [os.path.join(folder, fn) for fn in sorted(os.listdir(folder))]
+    files = [f for f in files if not f.endswith((".json", ".md"))]
+    if rng is not None:
+        files = [files[i] for i in rng.permutation(len(files))]
+    return tuple(files)
+
+
+class _FileStream:
+    """Shared file-at-a-time streaming core (reference __read_next_file)."""
+
+    def __init__(self, folder: str, *, shuffle: bool, seed: int):
+        self.folder = folder
+        self.shuffle = shuffle
+        self._rng = np.random.default_rng(seed)
+        self.files = _list_files(folder, self._rng if shuffle else None)
+        self.file_index = 0
+
+    def read_next_file(self) -> np.ndarray:
+        if self.file_index == len(self.files):
+            raise StopIteration
+        data = load_array(self.files[self.file_index])
+        self.file_index += 1
+        return np.asarray(data)
+
+    def perm(self, n: int) -> np.ndarray:
+        return self._rng.permutation(n) if self.shuffle else np.arange(n)
+
+
+class CoastalSeaLoader(_FileStream):
+    """.pt frame streamer: 2*seq_len sliding windows, crop, (x, y) halves.
+
+    Yields (x, y) float32 arrays of shape (b, seq_len, C, H, W).
+    """
+
+    def __init__(
+        self,
+        folder: str,
+        batch_size: int,
+        device=None,  # accepted for API parity; transfer happens downstream
+        *,
+        crop: int | None = 64,
+        shuffle: bool = True,
+        seq_len: int = 4,
+        seed: int = 369,
+    ):
+        super().__init__(folder, shuffle=shuffle, seed=seed)
+        self.batch_size = batch_size
+        self.crop = crop
+        self.seq_len = seq_len
+        self.device = device
+        self.remainder = self._segmentify(self.read_next_file())
+        self.file_length = self.remainder.shape[0] * self.remainder.shape[1]
+
+    def _segmentify(self, data: np.ndarray) -> np.ndarray:
+        data = truncate_to_multiple(data, 2 * self.seq_len)
+        if self.crop is not None:
+            data = data[:, :, : self.crop, : self.crop]
+        return sliding_windows(data, 2 * self.seq_len)
+
+    def __next__(self):
+        if self.remainder.shape[0] == 0:
+            data = self._segmentify(self.read_next_file())
+        else:
+            data = self.remainder
+        self.remainder = data[self.batch_size :]
+        result = data[: self.batch_size]
+        if len(result) == 0:
+            raise StopIteration
+        idx = self.perm(result.shape[0])
+        x = result[idx, : self.seq_len].astype(np.float32)
+        y = result[idx, self.seq_len :].astype(np.float32)
+        return x, y
+
+    def __iter__(self):
+        return self
+
+
+class H5SequenceLoader(_FileStream):
+    """dcgan-style .h5 streamer.
+
+    Window construction matches dcgan/data_loader.py:58-85: each batch
+    takes the ``batch_size`` length-(in+out) windows starting at offsets
+    0..batch_size-1 of the current buffer, then drops batch_size frames.
+    Yields (x, y) of shapes (b, in_seq, C, H, W) / (b, out_seq, C, H, W).
+    """
+
+    def __init__(
+        self,
+        folder: str,
+        batch_size: int,
+        device=None,
+        *,
+        crop: int | None = 64,
+        shuffle: bool = True,
+        in_seq_len: int = 4,
+        out_seq_len: int = 4,
+        seed: int = 369,
+    ):
+        super().__init__(folder, shuffle=shuffle, seed=seed)
+        self.batch_size = batch_size
+        self.crop = crop
+        self.in_seq_len = in_seq_len
+        self.out_seq_len = out_seq_len
+        self.tot_seq_len = in_seq_len + out_seq_len
+        self.device = device
+        self.remainder = self._segmentify(self.read_next_file())
+        self.file_length = self.remainder.shape[0] * self.remainder.shape[1]
+
+    def _segmentify(self, data: np.ndarray) -> np.ndarray:
+        data = truncate_to_multiple(data, self.tot_seq_len)
+        if self.crop is not None:
+            data = data[:, :, : self.crop, : self.crop]
+        return data
+
+    def __next__(self):
+        if self.remainder.shape[0] == 0:
+            data = self._segmentify(self.read_next_file())
+        else:
+            data = self.remainder
+        self.remainder = data[self.batch_size :]
+        windows = sliding_windows(data, self.tot_seq_len)[: self.batch_size]
+        if len(windows) == 0:
+            raise StopIteration
+        idx = self.perm(windows.shape[0])
+        x = windows[idx, : self.in_seq_len].astype(np.float32)
+        y = windows[idx, self.in_seq_len :].astype(np.float32)
+        return x, y
+
+    def __iter__(self):
+        return self
+
+
+class KmniLoader(_FileStream):
+    """KNMI radar video streamer -> (B, H, W, T=4, V) batches.
+
+    Normalization: value/254 then ``** power`` (kmni_data_loader.py:32,77-78).
+    ``merge_nodes`` reproduces the reference's overlapping 2x3 mosaic
+    (:96-106). Exposes ``.power`` and ``.normalizing_max`` for the eval-time
+    de-normalization in the trainer (convolutional_gat/train.py:54-73).
+    """
+
+    def __init__(
+        self,
+        batch_size: int,
+        folder: str,
+        device=None,
+        *,
+        time_steps: int = 4,
+        crop: int | None = None,
+        shuffle: bool = True,
+        merge_nodes: bool = False,
+        power: float = 1.0,
+        seed: int = 369,
+    ):
+        super().__init__(folder, shuffle=shuffle, seed=seed)
+        self.batch_size = batch_size
+        self.time_steps = time_steps
+        self.crop = crop
+        self.merge_nodes = merge_nodes
+        self.power = power
+        self.normalizing_max = 254.0
+        self.device = device
+        self.data_folder = folder
+        self.remainder = self._segmentify(self.read_next_file())
+        self.file_length = self.remainder.shape[0] * self.remainder.shape[1]
+
+    def _segmentify(self, data: np.ndarray) -> np.ndarray:
+        w = 2 * self.time_steps
+        data = truncate_to_multiple(data, w)
+        data = (data.astype(np.float32) / self.normalizing_max) ** self.power
+        segments = sliding_windows(data, w)  # (n, 8, V, H, W)
+        if segments.shape[0] == 0:
+            return np.empty((2, 0) + segments.shape[2:], np.float32)
+        # (n, 2, 4, V, H, W) -> (2, n, 4, V, H, W)
+        split = np.stack(
+            [segments[:, : self.time_steps], segments[:, self.time_steps :]],
+            axis=1,
+        ).swapaxes(0, 1)
+        if self.crop is not None:
+            split = split[:, :, :, :, : self.crop, : self.crop]
+        if self.merge_nodes:
+            # overlapping vertex pairs (0,1),(1,2),(2,3) tiled 2 high x 3 wide
+            split = np.concatenate(
+                [
+                    np.concatenate(
+                        (split[:, :, :, i], split[:, :, :, i + 1]), axis=3
+                    )
+                    for i in range(3)
+                ],
+                axis=4,
+            )
+        return split
+
+    def __next__(self):
+        if self.remainder.shape[1] == 0:
+            data = self._segmentify(self.read_next_file())
+        else:
+            data = self.remainder
+        self.remainder = data[:, self.batch_size :]
+        result = data[:, : self.batch_size]
+        idx = self.perm(result.shape[1])
+        if not self.merge_nodes:
+            # (2, b, T, V, H, W) -> (2, b, H, W, T, V)
+            result = result.transpose(0, 1, 4, 5, 2, 3)
+        return np.ascontiguousarray(result[0][idx]), np.ascontiguousarray(
+            result[1][idx]
+        )
+
+    def __iter__(self):
+        return self
+
+
+class AraiLoader:
+    """ARAI/MAI region-block streamer with background-thread prefetch.
+
+    Parity with arai_data_loader.py:14-226: metadata-driven length, stride-1
+    2T windows per file, (B, H, W, T, V) output. The prefetch thread here
+    uses a bounded queue (depth 2) instead of the reference's single-slot
+    join/restart dance — same overlap, no lost-wakeup races.
+    """
+
+    def __init__(
+        self,
+        batch_size: int,
+        folder: str,
+        device=None,
+        *,
+        total_length: int,
+        n_regions: int = 5,
+        time_steps: int = 4,
+        downsample_size: tuple[int, int] = (256, 256),
+    ):
+        self.batch_size = batch_size
+        self.folder = folder
+        self.device = device
+        self.total_length = total_length
+        self.n_regions = n_regions
+        self.time_steps = time_steps
+        self.downsample_size = downsample_size
+        self.power = 1.0
+        self.normalizing_max = 1.0
+        self.files = sorted(os.listdir(folder), key=lambda x: int(x.split(".")[0]))
+        self._queue: queue.Queue = queue.Queue(maxsize=2)
+        self._thread = threading.Thread(target=self._producer, daemon=True)
+        self._thread.start()
+
+    def __len__(self):
+        tot = self.total_length - (self.time_steps - 1) * (len(self.files) + 1)
+        return tot // self.batch_size
+
+    def _producer(self):
+        try:
+            for fname in self.files:
+                data = load_array(os.path.join(self.folder, fname))
+                data = data[
+                    :, :, :, : self.downsample_size[0], : self.downsample_size[1]
+                ]
+                windows = sliding_windows(data, 2 * self.time_steps)
+                for i in range(0, len(windows), self.batch_size):
+                    chunk = windows[i : i + self.batch_size]
+                    x = chunk[:, : self.time_steps]
+                    y = chunk[:, self.time_steps :]
+                    self._queue.put((x, y))
+        finally:
+            self._queue.put(None)
+
+    @staticmethod
+    def _fix_sizes(a: np.ndarray) -> np.ndarray:
+        # (b, T, R, C=1, H, W) -> squeeze channel -> (b, H, W, T, R)
+        a = a.squeeze(3)
+        return np.ascontiguousarray(a.transpose(0, 3, 4, 1, 2).astype(np.float32))
+
+    def __next__(self):
+        item = self._queue.get()
+        if item is None:
+            raise StopIteration
+        x, y = item
+        return self._fix_sizes(x), self._fix_sizes(y)
+
+    def __iter__(self):
+        return self
+
+
+class Prefetcher:
+    """Depth-N background prefetch of any (x, y) iterator, optionally doing
+    the sharded device transfer off the training thread so host IO overlaps
+    device compute (the async-input-pipeline role torch DataLoader workers
+    play in the reference's world)."""
+
+    def __init__(self, it: Iterator, depth: int = 2, transfer=None):
+        self._q: queue.Queue = queue.Queue(maxsize=depth)
+        self._transfer = transfer
+
+        def run():
+            try:
+                for item in it:
+                    if self._transfer is not None:
+                        item = self._transfer(item)
+                    self._q.put(item)
+            except BaseException as e:  # propagate to consumer
+                self._q.put(e)
+                return
+            finally:
+                self._q.put(None)
+
+        self._thread = threading.Thread(target=run, daemon=True)
+        self._thread.start()
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        item = self._q.get()
+        if item is None:
+            raise StopIteration
+        if isinstance(item, BaseException):
+            raise item
+        return item
+
+
+# --------------------------------------------------------------------------
+# get_loaders factories (reference API parity)
+# --------------------------------------------------------------------------
+def get_coastal_loaders(
+    data_location: str,
+    train_batch_size: int,
+    test_batch_size: int,
+    device=None,
+    *,
+    seq_len: int = 4,
+    crop: int | None = 64,
+    seed: int = 369,
+):
+    """== /root/reference/data_loader.py:85-98."""
+    return (
+        CoastalSeaLoader(
+            os.path.join(data_location, "train"), train_batch_size, device,
+            seq_len=seq_len, crop=crop, seed=seed,
+        ),
+        CoastalSeaLoader(
+            os.path.join(data_location, "test"), test_batch_size, device,
+            seq_len=seq_len, crop=crop, seed=seed + 1,
+        ),
+    )
+
+
+def get_h5_loaders(
+    data_location: str,
+    train_batch_size: int,
+    test_batch_size: int,
+    device=None,
+    *,
+    crop: int | None = 64,
+    in_seq_len: int = 12,
+    out_seq_len: int = 6,
+    seed: int = 369,
+):
+    """== /root/reference/dcgan/data_loader.py:91-120."""
+    return (
+        H5SequenceLoader(
+            os.path.join(data_location, "train"), train_batch_size, device,
+            crop=crop, in_seq_len=in_seq_len, out_seq_len=out_seq_len,
+            seed=seed,
+        ),
+        H5SequenceLoader(
+            os.path.join(data_location, "test"), test_batch_size, device,
+            crop=crop, in_seq_len=in_seq_len, out_seq_len=out_seq_len,
+            seed=seed + 1,
+        ),
+    )
+
+
+def get_kmni_loaders(
+    train_batch_size: int,
+    test_batch_size: int,
+    data_folder: str,
+    device=None,
+    *,
+    crop: int | None = None,
+    shuffle: bool = True,
+    merge_nodes: bool = False,
+    seed: int = 369,
+):
+    """== kmni_data_loader.py:133-167 (note: val loader IS the test split,
+    reproduced faithfully)."""
+    mk = lambda bs, sub, s: KmniLoader(
+        bs, os.path.join(data_folder, sub), device,
+        crop=crop, shuffle=shuffle, merge_nodes=merge_nodes, seed=s,
+    )
+    return (
+        mk(train_batch_size, "train", seed),
+        mk(test_batch_size, "test", seed + 1),
+        mk(test_batch_size, "test", seed + 2),
+    )
+
+
+def get_arai_loaders(
+    train_batch_size: int,
+    test_batch_size: int,
+    preprocessed_folder: str,
+    device=None,
+    *,
+    downsample_size: tuple[int, int] = (256, 256),
+):
+    """== arai_data_loader.py:190-226."""
+    with open(os.path.join(preprocessed_folder, "metadata.json")) as f:
+        metadata = json.load(f)
+    mk = lambda bs, sub: AraiLoader(
+        bs, os.path.join(preprocessed_folder, sub), device,
+        total_length=metadata[sub]["length"],
+        n_regions=metadata["n_regions"],
+        downsample_size=downsample_size,
+    )
+    return (
+        mk(train_batch_size, "training"),
+        mk(test_batch_size, "validation"),
+        mk(test_batch_size, "validation"),
+    )
+
+
+def get_loaders(
+    train_batch_size: int,
+    test_batch_size: int,
+    preprocessed_folder: str,
+    device=None,
+    *,
+    dataset: str = "kmni",
+    downsample_size: tuple[int, int] = (256, 256),
+    merge_nodes: bool = False,
+    shuffle: bool = True,
+    seed: int = 369,
+):
+    """Dataset dispatcher == convolutional_gat/data_loaders/get_loaders.py:7-35,
+    extended with the "synthetic" dataset (generated on the fly, for
+    zero-egress demos/benches/tests)."""
+    if dataset == "arai":
+        return get_arai_loaders(
+            train_batch_size, test_batch_size, preprocessed_folder, device,
+            downsample_size=downsample_size,
+        )
+    if dataset == "kmni":
+        return get_kmni_loaders(
+            train_batch_size, test_batch_size, preprocessed_folder, device,
+            crop=downsample_size[0], merge_nodes=merge_nodes, shuffle=shuffle,
+            seed=seed,
+        )
+    if dataset == "synthetic":
+        from .synthetic import ensure_synthetic_kmni
+
+        folder = ensure_synthetic_kmni(preprocessed_folder or None)
+        return get_kmni_loaders(
+            train_batch_size, test_batch_size, folder, device,
+            crop=downsample_size[0], merge_nodes=merge_nodes, shuffle=shuffle,
+            seed=seed,
+        )
+    raise ValueError(f"unknown dataset {dataset!r}")

@@ -1,0 +1,181 @@
+"""DCGAN-style frame-prediction GAN.
+
+Capability clone of /root/reference/dcgan/model.py:19-179, built NHWC-first
+for the TPU (channels-last feeds the MXU's native conv layout; the
+reference's NCHW is a CUDA convention):
+
+- :class:`ConvBlock` — Conv -> BatchNorm? -> channel Dropout(0.01) -> act
+  (reference :19-52),
+- :class:`Generator` — 5 same-padded 4x4 ConvBlocks nc->8nc->4nc->2nc->nc->nc
+  with a sigmoid head; frames-as-channels, no latent z (reference :55-76),
+- :class:`TemporalDiscriminator` — 5 stride-2/4 blocks on concat(x, y),
+  LeakyReLU(0.2), sigmoid 1-logit head (reference :79-142),
+- :class:`FrameDiscriminator` — classic DCGAN D on y alone (reference
+  :145-179).
+
+All inputs/outputs are (B, H, W, C) with C = frame count (nc=4).
+Initialization matches torch defaults (see ops/initializers.py for why the
+reference's weights_init is a no-op).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ..ops.initializers import conv_fan_in, torch_bias_init, torch_kernel_init
+
+
+def leaky_relu_02(x):
+    return nn.leaky_relu(x, negative_slope=0.2)
+
+
+ACTIVATIONS: dict[str, Callable] = {
+    "relu": nn.relu,
+    "leaky_relu": leaky_relu_02,
+    "sigmoid": nn.sigmoid,
+    "tanh": jnp.tanh,
+    "elu": nn.elu,
+    "identity": lambda x: x,
+}
+
+
+class ConvBlock(nn.Module):
+    """Conv2d -> BatchNorm? -> Dropout2d(p) -> activation.
+
+    ``padding`` accepts "SAME" or an int (symmetric explicit padding),
+    mirroring the reference's padding="same" / padding=1 usages.
+    Dropout drops whole channels per sample (torch Dropout2d), implemented
+    with broadcast_dims over H, W.
+    """
+
+    chout: int
+    kernel_size: int = 4
+    stride: int = 1
+    padding: Any = 0
+    use_bias: bool = True
+    dropout: float = 0.01
+    act: str = "relu"
+    batchnorm: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = True):
+        chin = x.shape[-1]
+        pad = (
+            "SAME"
+            if isinstance(self.padding, str)
+            else ((self.padding, self.padding), (self.padding, self.padding))
+        )
+        x = nn.Conv(
+            features=self.chout,
+            kernel_size=(self.kernel_size, self.kernel_size),
+            strides=(self.stride, self.stride),
+            padding=pad,
+            use_bias=self.use_bias,
+            kernel_init=torch_kernel_init,
+            bias_init=torch_bias_init(conv_fan_in(self.kernel_size, chin)),
+            dtype=self.dtype,
+        )(x.astype(self.dtype))
+        if self.batchnorm:
+            x = nn.BatchNorm(
+                use_running_average=not train,
+                momentum=0.9,
+                epsilon=1e-5,
+                dtype=jnp.float32,
+            )(x)
+        if self.dropout > 0:
+            x = nn.Dropout(
+                rate=self.dropout,
+                broadcast_dims=(1, 2),  # drop whole channels (Dropout2d)
+                deterministic=not train,
+            )(x)
+        return ACTIVATIONS[self.act](x)
+
+
+class Generator(nn.Module):
+    """4 context frames (as channels) -> 4 predicted frames in [0, 1]."""
+
+    nc: int = 4
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = True):
+        nc = self.nc
+        widths = (nc * 8, nc * 4, nc * 2, nc)
+        for w in widths:
+            x = ConvBlock(
+                w, kernel_size=4, padding="SAME", act="relu", dtype=self.dtype
+            )(x, train=train)
+        x = ConvBlock(
+            nc,
+            kernel_size=4,
+            padding="SAME",
+            act="sigmoid",
+            batchnorm=False,
+            dtype=self.dtype,
+        )(x, train=train)
+        return x.astype(jnp.float32)
+
+
+class TemporalDiscriminator(nn.Module):
+    """Judges the joint (context, continuation) clip: input concat(x, y)
+    with 2*nc channels -> scalar probability per sample."""
+
+    nc: int = 4
+    ndf: int = 64
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, xy, *, train: bool = True):
+        ndf = self.ndf
+        x = ConvBlock(
+            ndf, 4, stride=2, padding=1, use_bias=False, batchnorm=False,
+            act="leaky_relu", dtype=self.dtype,
+        )(xy, train=train)
+        for w in (2 * ndf, 4 * ndf, 8 * ndf):
+            x = ConvBlock(
+                w, 4, stride=2, padding=1, use_bias=False,
+                act="leaky_relu", dtype=self.dtype,
+            )(x, train=train)
+        x = ConvBlock(
+            1, 4, stride=4, padding=0, use_bias=False, batchnorm=False,
+            act="sigmoid", dtype=self.dtype,
+        )(x, train=train)
+        return x.astype(jnp.float32).squeeze()
+
+
+class FrameDiscriminator(nn.Module):
+    """Classic DCGAN discriminator on the predicted frames alone."""
+
+    nc: int = 4
+    ndf: int = 64
+    dtype: Any = jnp.float32
+
+    def _conv(self, features, k, s, p, x):
+        return nn.Conv(
+            features=features,
+            kernel_size=(k, k),
+            strides=(s, s),
+            padding=((p, p), (p, p)),
+            use_bias=False,
+            kernel_init=torch_kernel_init,
+            dtype=self.dtype,
+        )(x)
+
+    @nn.compact
+    def __call__(self, y, *, train: bool = True):
+        ndf = self.ndf
+        bn = lambda x: nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            dtype=jnp.float32,
+        )(x)
+        x = y.astype(self.dtype)
+        x = leaky_relu_02(self._conv(ndf, 4, 2, 1, x))
+        x = leaky_relu_02(bn(self._conv(ndf * 2, 4, 2, 1, x)))
+        x = leaky_relu_02(bn(self._conv(ndf * 4, 4, 2, 1, x)))
+        x = leaky_relu_02(bn(self._conv(ndf * 8, 4, 2, 1, x)))
+        x = nn.sigmoid(self._conv(1, 4, 1, 0, x).astype(jnp.float32))
+        return x.squeeze()

@@ -1,0 +1,44 @@
+"""Per-vertex SmaAt-UNet frame predictor.
+
+Parity with /root/reference/convolutional_gat/unet_model.py:8-29: a single
+shared SmaAt_UNet(n_channels=4, n_classes=4) applied to every vertex's
+(T-as-channels) frame stack.
+
+TPU-first: the reference loops over vertices in Python (unet_model.py:22-29)
+— six separate forward graphs per batch. Here the vertex axis folds into the
+batch axis and the UNet runs ONCE on a (B*V, H, W, T) batch: bigger matmuls
+for the MXU, one fused program. Deviation: BatchNorm batch statistics are
+computed over B*V samples rather than per-vertex; with the reference's BN
+momentum this changes training noise, not capability.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from .smaat_unet import SmaAt_UNet
+
+
+class UnetModel(nn.Module):
+    image_width: int = 0
+    image_height: int = 0
+    n_vertices: int = 0
+    attention_type: str = "unet"   # accepted for registry-call parity
+    mapping_type: str = "conv"
+    time_steps: int = 4
+    kernels_per_layer: int = 2     # matches the reference's 4,032,548 params
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = True):
+        b, h, w, t, v = x.shape
+        xb = x.transpose(0, 4, 1, 2, 3).reshape(b * v, h, w, t)
+        y = SmaAt_UNet(
+            n_channels=self.time_steps, n_classes=self.time_steps,
+            kernels_per_layer=self.kernels_per_layer, dtype=self.dtype,
+            name="unet",
+        )(xb, train=train)
+        return y.reshape(b, v, h, w, t).transpose(0, 2, 3, 4, 1)

@@ -57,11 +57,14 @@ class MeshContext:
         n = len(devices)
         if data is None:
             data = n // model
-        if data * model != n:
+        if data * model > n:
             raise ValueError(
-                f"mesh {data}x{model} does not match {n} devices"
+                f"mesh {data}x{model} needs {data * model} devices, "
+                f"have {n}"
             )
-        arr = np.array(devices).reshape(data, model)
+        # An explicit smaller mesh uses a device subset (useful for
+        # single-chip comparisons and tests).
+        arr = np.array(devices[: data * model]).reshape(data, model)
         return cls(mesh=Mesh(arr, axis_names=("data", "model")))
 
     # ------------------------------------------------------------ properties
@@ -105,6 +108,11 @@ class MeshContext:
 
     def put_replicated(self, tree: Any):
         return jax.device_put(tree, self.replicated)
+
+    def padded_batch_size(self, batch_size: int) -> int:
+        """Smallest multiple of the data-axis size >= batch_size."""
+        d = self.n_data
+        return ((batch_size + d - 1) // d) * d
 
     def pad_to_batch_multiple(self, *arrays: np.ndarray, batch_size: int):
         """Pad arrays on axis 0 to ``batch_size`` and return a sample mask.

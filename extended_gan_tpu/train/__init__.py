@@ -14,6 +14,8 @@ from .adversarial import (
     make_sampler,
     apply_eval,
 )
+from .module import TrainModule, Trainer
+from .checkpoint import save_model, load_model, CheckpointManager
 
 __all__ = [
     "NetState",
@@ -33,4 +35,9 @@ __all__ = [
     "make_vanilla_gan_step",
     "make_sampler",
     "apply_eval",
+    "TrainModule",
+    "Trainer",
+    "save_model",
+    "load_model",
+    "CheckpointManager",
 ]

@@ -1,0 +1,172 @@
+"""CycleGAN training driver — `python -m cycle_gan` entry logic.
+
+Replaces the reference's broken cycle_gan/train.py (NameError at import,
+cycle_gan/train.py:11-24) with the working dual-G/D + cycle-consistency
+trainer. Data: the coastal-sea ``.pt`` variant the reference's cycle_gan
+loader consumed (cycle_gan/data_loader.py == top-level data_loader.py),
+default path ./datasets/data (cycle_gan/train.py:234), with synthetic
+fallback.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import KeySeq
+from ..data.streaming import Prefetcher, get_coastal_loaders
+from ..models.dcgan import FrameDiscriminator, Generator
+from ..parallel import MeshContext
+from ..utils.history import TrainingHistory
+from ..utils.metrics import IncrementalTuple, MetricsManager
+from .cyclegan_trainer import (
+    CycleGANStates,
+    make_cyclegan_eval_step,
+    make_cyclegan_train_step,
+)
+from .dcgan_trainer import to_nhwc
+from .optim import adam
+from .state import create_net_state
+
+DEFAULT_DATA = "./datasets/data"
+
+
+def build_cyclegan(
+    *,
+    nc: int = 4,
+    ndf: int = 64,
+    imsize: int = 64,
+    lr: float = 2e-4,
+    beta1: float = 0.5,
+    cycle_lambda: float = 10.0,
+    precision: str = "f32",
+    seed: int = 369,
+):
+    dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
+    g_xy = Generator(nc=nc, dtype=dtype)
+    g_yx = Generator(nc=nc, dtype=dtype)
+    d_x = FrameDiscriminator(nc=nc, ndf=ndf, dtype=dtype)
+    d_y = FrameDiscriminator(nc=nc, ndf=ndf, dtype=dtype)
+    txs = tuple(adam(lr, b1=beta1) for _ in range(4))
+    keys = KeySeq(seed)
+    sample = jnp.zeros((2, imsize, imsize, nc), jnp.float32)
+    states = CycleGANStates(
+        g_xy=create_net_state(g_xy, txs[0], keys.next(), sample),
+        g_yx=create_net_state(g_yx, txs[1], keys.next(), sample),
+        d_x=create_net_state(d_x, txs[2], keys.next(), sample),
+        d_y=create_net_state(d_y, txs[3], keys.next(), sample),
+    )
+    models = (g_xy, g_yx, d_x, d_y)
+    step = make_cyclegan_train_step(*models, *txs, cycle_lambda=cycle_lambda)
+    eval_step = make_cyclegan_eval_step(g_xy, g_yx)
+    return models, txs, states, step, eval_step, keys
+
+
+def _feed(loader, mesh, batch_size):
+    padded = mesh.padded_batch_size(batch_size)
+
+    def prepare(item):
+        x, y = item
+        x, y = to_nhwc(x), to_nhwc(y)
+        x, y, mask = mesh.pad_to_batch_multiple(x, y, batch_size=padded)
+        return mesh.put_batch(x, y, mask)
+
+    return Prefetcher(iter(loader), depth=2, transfer=prepare)
+
+
+def train(
+    *,
+    data_location: str | None = None,
+    epochs: int = 10,
+    train_batch_size: int = 32,
+    test_batch_size: int = 64,
+    imsize: int = 64,
+    nc: int = 4,
+    ndf: int = 64,
+    lr: float = 2e-4,
+    cycle_lambda: float = 10.0,
+    precision: str = "f32",
+    seed: int = 369,
+    max_batches: int = 0,
+    synthetic: bool = False,
+    out_dir: str | None = None,
+    log_every: int = 50,
+):
+    data_location = data_location or DEFAULT_DATA
+    if synthetic or not os.path.isdir(data_location):
+        from ..data.synthetic import ensure_synthetic_coastal
+
+        print(f"[cycle_gan] data not found at {data_location}; "
+              "using synthetic coastal-sea data")
+        data_location = ensure_synthetic_coastal(
+            None, frames_per_file=64, h=imsize, w=imsize,
+        )
+
+    mesh = MeshContext.create()
+    models, txs, states, step, eval_step, keys = build_cyclegan(
+        nc=nc, ndf=ndf, imsize=imsize, lr=lr, cycle_lambda=cycle_lambda,
+        precision=precision, seed=seed,
+    )
+    states = mesh.put_replicated(states)
+
+    out_dir = out_dir or os.path.join(
+        os.path.dirname(__file__), "..", "..", "cycle_gan")
+    img_path = os.path.join(out_dir, "imgs")
+    history = TrainingHistory(
+        save_path=os.path.join(out_dir, "training_plots"))
+
+    for epoch in range(1, epochs + 1):
+        train_loader, test_loader = get_coastal_loaders(
+            data_location, train_batch_size, test_batch_size,
+            seq_len=nc, crop=imsize, seed=seed + epoch,
+        )
+        if max_batches:
+            import itertools
+
+            train_loader = itertools.islice(iter(train_loader), max_batches)
+
+        train_mse = MetricsManager(("mse",), prefix="train")
+        for i, (x, y, mask) in enumerate(
+            _feed(train_loader, mesh, train_batch_size)
+        ):
+            states, logs = step(states, x, y, mask, keys.next())
+            train_mse.metrics["mse"] += IncrementalTuple(
+                np.asarray(logs["train_mse_nd"]))
+            if i % log_every == 0:
+                print(
+                    f"Loss_G: {float(logs['g_loss']):.4f}\t"
+                    f"cycle: {float(logs['cycle_loss']):.4f}\t"
+                    f"Loss_DX: {float(logs['d_x_loss']):.4f}\t"
+                    f"Loss_DY: {float(logs['d_y_loss']):.4f}"
+                )
+
+        # eval
+        pred_mse = IncrementalTuple()
+        cycle_l1 = IncrementalTuple()
+        first = True
+        for x, y, mask in _feed(test_loader, mesh, test_batch_size):
+            fake_y, logs = eval_step(states, x, y, mask)
+            pred_mse += IncrementalTuple(np.asarray(logs["pred_mse_nd"]))
+            cycle_l1 += IncrementalTuple(np.asarray(logs["cycle_l1_nd"]))
+            if first:
+                from ..utils.viz import visualize_predictions
+
+                n = int(np.sum(np.asarray(mask)))
+                visualize_predictions(
+                    np.moveaxis(np.asarray(x)[:n], -1, 1),
+                    np.moveaxis(np.asarray(y)[:n], -1, 1),
+                    np.moveaxis(np.asarray(fake_y)[:n], -1, 1),
+                    epoch, img_path,
+                )
+                first = False
+        results = train_mse.results() | {
+            "pred_mse": pred_mse.item(),
+            "cycle_l1": cycle_l1.item(),
+        }
+        print(json.dumps(results, indent=4))
+        history.append(results)
+    history.plot()
+    return states, history

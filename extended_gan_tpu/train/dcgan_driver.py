@@ -1,0 +1,149 @@
+"""DCGAN training driver — `python -m dcgan` entry logic.
+
+Parity with /root/reference/dcgan/train.py:178-265: seed 369, the same
+params dict (:187-198), three Adam(lr=2e-4, betas=(0.5, 0.999)) optimizers,
+per-epoch loader re-creation over the h5 train/test split, train +
+eval-merge into TrainingHistory, grouped plots at the end.
+
+TPU-native deltas: one fused jitted step (see dcgan_trainer), batch sharded
+over the mesh data axis, bf16 compute opt-in, synthetic-data fallback when
+the reference's /mnt path is absent.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import jax.numpy as jnp
+
+from ..core import KeySeq
+from ..data.streaming import get_h5_loaders
+from ..models.dcgan import FrameDiscriminator, Generator, TemporalDiscriminator
+from ..parallel import MeshContext
+from ..utils.history import TrainingHistory
+from .dcgan_trainer import (
+    GANStates,
+    make_dcgan_eval_step,
+    make_dcgan_train_step,
+    test,
+    train_single_epoch,
+)
+from .optim import adam
+from .state import create_net_state
+
+DEFAULT_PARAMS = {
+    "bsize": 128,       # batch size during training (reference :188)
+    "imsize": 64,       # spatial size
+    "nc": 4,            # frame channels
+    "nz": 100,          # latent size (unused — G is conditional, :120)
+    "ngf": 64,
+    "ndf": 64,
+    "nepochs": 10,
+    "lr": 0.0002,
+    "beta1": 0.5,
+    "save_epoch": 2,
+}
+DEFAULT_DATA = "/mnt/tmp/multi_channel_train_test"
+
+
+def build_dcgan(params: dict, *, precision: str = "f32", seed: int = 369):
+    """Construct models, optimizers and initialized states."""
+    dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
+    nc, ndf, im = params["nc"], params["ndf"], params["imsize"]
+    g_model = Generator(nc=nc, dtype=dtype)
+    fd_model = FrameDiscriminator(nc=nc, ndf=ndf, dtype=dtype)
+    td_model = TemporalDiscriminator(nc=nc, ndf=ndf, dtype=dtype)
+    g_tx = adam(params["lr"], b1=params["beta1"])
+    fd_tx = adam(params["lr"], b1=params["beta1"])
+    td_tx = adam(params["lr"], b1=params["beta1"])
+    keys = KeySeq(seed)
+    sample = jnp.zeros((2, im, im, nc), jnp.float32)
+    sample2 = jnp.zeros((2, im, im, 2 * nc), jnp.float32)
+    states = GANStates(
+        g=create_net_state(g_model, g_tx, keys.next(), sample),
+        fd=create_net_state(fd_model, fd_tx, keys.next(), sample),
+        td=create_net_state(td_model, td_tx, keys.next(), sample2),
+    )
+    models = (g_model, fd_model, td_model)
+    txs = (g_tx, fd_tx, td_tx)
+    return models, txs, states, keys
+
+
+def train(
+    *,
+    data_location: str | None = None,
+    epochs: int | None = None,
+    train_batch_size: int = 32,
+    test_batch_size: int = 64,
+    precision: str = "f32",
+    seed: int = 369,
+    max_batches: int = 0,
+    synthetic: bool = False,
+    out_dir: str | None = None,
+    params: dict | None = None,
+):
+    params = {**DEFAULT_PARAMS, **(params or {})}
+    if epochs is not None:
+        params["nepochs"] = epochs
+
+    data_location = data_location or DEFAULT_DATA
+    if synthetic or not os.path.isdir(data_location):
+        from ..data.synthetic import ensure_synthetic_h5
+
+        print(f"[dcgan] data not found at {data_location}; using synthetic h5")
+        data_location = ensure_synthetic_h5(
+            None, frames_train=256, frames_test=64,
+            h=params["imsize"], w=params["imsize"],
+        )
+
+    mesh = MeshContext.create()
+    print(f"mesh: data={mesh.n_data} model={mesh.n_model}")
+    print("Random Seed: ", seed)
+
+    models, txs, states, keys = build_dcgan(
+        params, precision=precision, seed=seed
+    )
+    states = mesh.put_replicated(states)
+    step = make_dcgan_train_step(*models, *txs)
+    eval_step = make_dcgan_eval_step(*models)
+
+    out_dir = out_dir or os.path.join(os.path.dirname(__file__), "..", "..",
+                                      "dcgan")
+    img_path = os.path.join(out_dir, "imgs")
+    history = TrainingHistory(
+        save_path=os.path.join(out_dir, "training_plots")
+    )
+
+    for epoch in range(1, params["nepochs"] + 1):
+        train_loader, test_loader = get_h5_loaders(
+            data_location,
+            train_batch_size,
+            test_batch_size,
+            crop=params["imsize"],
+            in_seq_len=params["nc"],
+            out_seq_len=params["nc"],
+            seed=seed + epoch,
+        )
+        if max_batches:
+            import itertools
+
+            train_loader = itertools.islice(iter(train_loader), max_batches)
+        states, train_result = train_single_epoch(
+            dataloader=train_loader,
+            states=states,
+            step=step,
+            mesh=mesh,
+            batch_size=train_batch_size,
+            rng_keys=keys,
+            epoch=epoch,
+        )
+        test_result = test(
+            test_loader, states, eval_step, mesh, test_batch_size, epoch,
+            img_path=img_path,
+        )
+        results = train_result | test_result
+        print(json.dumps(results, indent=4))
+        history.append(results)
+    history.plot()
+    return states, history

@@ -1,0 +1,315 @@
+"""Fused DCGAN adversarial trainer.
+
+Re-implements the training semantics of /root/reference/dcgan/train.py as a
+SINGLE jitted XLA program per batch (the reference runs ~8 separate
+forward/backward graphs with eager Adam steps interleaved,
+dcgan/train.py:96-164). Exact update-order parity:
+
+1. FD/TD gradients on real:   FD(y), TD(concat(x,y)) vs label 1   (:109-117)
+2. fake = G(x)                                                      (:122)
+3. FD/TD gradients on stop_gradient(fake) vs label 0              (:129-139)
+4. FD/TD Adam step on the summed real+fake gradients              (:146-147)
+5. G gradients through the *updated* discriminators vs label 1    (:150-160)
+   — reusing the same dropout mask as step 2 (torch reuses the tensor)
+6. G Adam step                                                     (:164)
+
+BatchNorm running stats thread through calls in the reference's exact
+order (real -> detached fake -> fake-for-G). Batches are fixed-shape with a
+validity mask (ragged last batches are padded; losses/metrics are
+mask-exact; BN batch statistics of a padded final batch see the pad — the
+only deliberate deviation, noted here).
+
+Data layout: loaders yield (B, T, 1, H, W); the trainer squeezes and
+transposes once to NHWC (B, H, W, T) — frames-as-channels.
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import os
+from typing import Callable
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils.metrics import (
+    IncrementalTuple,
+    MetricsManager,
+    masked_batch_metrics,
+)
+from .adversarial import _apply_train_with_params
+from .losses import bce
+from .state import NetState
+
+
+@flax.struct.dataclass
+class GANStates:
+    g: NetState
+    fd: NetState
+    td: NetState
+
+
+def to_nhwc(a: np.ndarray) -> np.ndarray:
+    """(B, T, 1, H, W) or (B, T, H, W) -> (B, H, W, T)."""
+    if a.ndim == 5:
+        a = a.squeeze(2)  # reference squeezes the channel dim (:97-98)
+    return np.ascontiguousarray(np.moveaxis(a, 1, -1))
+
+
+def _tree_add(a, b):
+    return jax.tree_util.tree_map(jnp.add, a, b)
+
+
+def make_dcgan_train_step(g_model, fd_model, td_model, g_tx, fd_tx, td_tx):
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step(states: GANStates, x, y, mask, rng):
+        k_g, k_td1, k_td2, k_td3 = jax.random.split(rng, 4)
+        xy_real = jnp.concatenate([x, y], axis=-1)
+
+        # ---- 1) discriminator gradients on real -------------------------
+        def d_real_loss(fd_params, td_params):
+            p_rf, fd_bs = _apply_train_with_params(
+                fd_model, fd_params, states.fd.batch_stats, y
+            )
+            p_rt, td_bs = _apply_train_with_params(
+                td_model, td_params, states.td.batch_stats, xy_real,
+                rngs={"dropout": k_td1},
+            )
+            err_fd = bce(p_rf.reshape(-1), 1.0, mask=mask)
+            err_td = bce(p_rt.reshape(-1), 1.0, mask=mask)
+            return err_fd + err_td, (p_rf, p_rt, err_fd, err_td, fd_bs, td_bs)
+
+        (_, (p_rf, p_rt, err_fd_real, err_td_real, fd_bs1, td_bs1)), d_grads_real = (
+            jax.value_and_grad(d_real_loss, argnums=(0, 1), has_aux=True)(
+                states.fd.params, states.td.params
+            )
+        )
+
+        # ---- 2) generate fake -------------------------------------------
+        fake, g_bs1 = _apply_train_with_params(
+            g_model, states.g.params, states.g.batch_stats, x,
+            rngs={"dropout": k_g},
+        )
+        fake_sg = jax.lax.stop_gradient(fake)
+        xy_fake_sg = jnp.concatenate([x, fake_sg], axis=-1)
+
+        # ---- 3) discriminator gradients on detached fake ----------------
+        def d_fake_loss(fd_params, td_params):
+            p_ff, fd_bs = _apply_train_with_params(
+                fd_model, fd_params, fd_bs1, fake_sg
+            )
+            p_ft, td_bs = _apply_train_with_params(
+                td_model, td_params, td_bs1, xy_fake_sg,
+                rngs={"dropout": k_td2},
+            )
+            err_fd = bce(p_ff.reshape(-1), 0.0, mask=mask)
+            err_td = bce(p_ft.reshape(-1), 0.0, mask=mask)
+            return err_fd + err_td, (p_ff, p_ft, err_fd, err_td, fd_bs, td_bs)
+
+        (_, (p_ff, p_ft, err_fd_fake, err_td_fake, fd_bs2, td_bs2)), d_grads_fake = (
+            jax.value_and_grad(d_fake_loss, argnums=(0, 1), has_aux=True)(
+                states.fd.params, states.td.params
+            )
+        )
+
+        # ---- 4) discriminator Adam step on accumulated gradients --------
+        fd_state = states.fd.apply_gradients(
+            fd_tx, _tree_add(d_grads_real[0], d_grads_fake[0])
+        )
+        td_state = states.td.apply_gradients(
+            td_tx, _tree_add(d_grads_real[1], d_grads_fake[1])
+        )
+
+        # ---- 5) generator gradients through the UPDATED discriminators --
+        def g_loss_fn(g_params):
+            fake2, g_bs = _apply_train_with_params(
+                g_model, g_params, states.g.batch_stats, x,
+                rngs={"dropout": k_g},  # same mask as step 2 (torch reuse)
+            )
+            p_f, fd_bs3 = _apply_train_with_params(
+                fd_model, fd_state.params, fd_bs2, fake2
+            )
+            p_t, td_bs3 = _apply_train_with_params(
+                td_model, td_state.params, td_bs2,
+                jnp.concatenate([x, fake2], axis=-1),
+                rngs={"dropout": k_td3},
+            )
+            err = bce(p_f.reshape(-1), 1.0, mask=mask) + bce(
+                p_t.reshape(-1), 1.0, mask=mask
+            )
+            return err, (g_bs, fd_bs3, td_bs3)
+
+        (err_g, (g_bs_final, fd_bs3, td_bs3)), g_grads = jax.value_and_grad(
+            g_loss_fn, has_aux=True
+        )(states.g.params)
+        g_state = states.g.apply_gradients(g_tx, g_grads).replace(
+            batch_stats=g_bs_final
+        )
+        fd_state = fd_state.replace(batch_stats=fd_bs3)
+        td_state = td_state.replace(batch_stats=td_bs3)
+
+        # ---- metrics (mask-exact) ----------------------------------------
+        def masked_rounded_match(p, label):
+            m = mask.astype(jnp.float32)
+            matches = (jnp.round(p.reshape(-1)) == label).astype(jnp.float32)
+            return jnp.stack([jnp.sum(matches * m), jnp.sum(m)])
+
+        mse_num = jnp.sum(
+            ((fake - y) ** 2)
+            * mask.reshape((-1,) + (1,) * (y.ndim - 1))
+        )
+        mse_den = jnp.sum(mask) * jnp.float32(y[0].size)
+
+        logs = {
+            "errFD": err_fd_real + err_fd_fake,
+            "errTD": err_td_real + err_td_fake,
+            "errG": err_g,
+            "train_mse_nd": jnp.stack([mse_num, mse_den]),
+            "fd_acc_nd": masked_rounded_match(p_rf, 1.0)
+            + masked_rounded_match(p_ff, 0.0),
+            "td_acc_nd": masked_rounded_match(p_rt, 1.0)
+            + masked_rounded_match(p_ft, 0.0),
+        }
+        return GANStates(g=g_state, fd=fd_state, td=td_state), logs
+
+    return step
+
+
+def make_dcgan_eval_step(g_model, fd_model, td_model):
+    """Eval pass parity with dcgan/train.py:26-77 (BN running stats,
+    dropout off). Returns per-batch (num, denom) metric pairs + fake."""
+
+    def _apply(model, state, *args):
+        variables = {"params": state.params}
+        if state.batch_stats:
+            variables["batch_stats"] = state.batch_stats
+        return model.apply(variables, *args, train=False)
+
+    @jax.jit
+    def eval_step(states: GANStates, x, y, mask):
+        fake = _apply(g_model, states.g, x)
+        xy_real = jnp.concatenate([x, y], axis=-1)
+        xy_fake = jnp.concatenate([x, fake], axis=-1)
+        p_rf = _apply(fd_model, states.fd, y).reshape(-1)
+        p_rt = _apply(td_model, states.td, xy_real).reshape(-1)
+        p_ff = _apply(fd_model, states.fd, fake).reshape(-1)
+        p_ft = _apply(td_model, states.td, xy_fake).reshape(-1)
+
+        ones = jnp.ones_like(p_rf)
+        zeros = jnp.zeros_like(p_rf)
+        # MetricsManager("accuracy") semantics: binarize at 0.5 with `<`
+        # polarity, denominator = y[0].numel() = 1 per update.
+        def acc_nd(p, label):
+            return jnp.stack(
+                [
+                    jnp.sum(
+                        ((p < 0.5) == (label < 0.5)).astype(jnp.float32)
+                        * mask
+                    ),
+                    jnp.float32(1.0),
+                ]
+            )
+
+        pred_nd = masked_batch_metrics(
+            ("accuracy", "precision", "recall", "mse"), y, fake, mask
+        )
+        logs = {
+            "fd_acc_nd": acc_nd(p_rf, ones) + acc_nd(p_ff, zeros),
+            "td_acc_nd": acc_nd(p_rt, ones) + acc_nd(p_ft, zeros),
+            "pred_nd": pred_nd,
+        }
+        return fake, logs
+
+    return eval_step
+
+
+# --------------------------------------------------------------------------
+# Host-side epoch drivers (reference API parity).
+# --------------------------------------------------------------------------
+def _feed(loader, mesh, batch_size):
+    """Yield fixed-shape sharded (x, y, mask) device batches."""
+    from ..data.streaming import Prefetcher
+
+    padded = mesh.padded_batch_size(batch_size)
+
+    def prepare(item):
+        x, y = item
+        x, y = to_nhwc(x), to_nhwc(y)
+        x, y, mask = mesh.pad_to_batch_multiple(x, y, batch_size=padded)
+        return mesh.put_batch(x, y, mask)
+
+    return Prefetcher(iter(loader), depth=2, transfer=prepare)
+
+
+def train_single_epoch(
+    *,
+    dataloader,
+    states: GANStates,
+    step: Callable,
+    mesh,
+    batch_size: int,
+    rng_keys,
+    epoch: int,
+    log_every: int = 50,
+):
+    """== dcgan/train.py:80-175 (one epoch of fused adversarial steps)."""
+    pred_metrics = MetricsManager(("mse",), prefix="train")
+    inc_acc_fd = IncrementalTuple()
+    inc_acc_td = IncrementalTuple()
+    for i, (x, y, mask) in enumerate(_feed(dataloader, mesh, batch_size)):
+        states, logs = step(states, x, y, mask, rng_keys.next())
+        pred_metrics.metrics["mse"] += IncrementalTuple(
+            np.asarray(logs["train_mse_nd"])
+        )
+        inc_acc_fd += IncrementalTuple(np.asarray(logs["fd_acc_nd"]))
+        inc_acc_td += IncrementalTuple(np.asarray(logs["td_acc_nd"]))
+        if i % log_every == 0:
+            print(
+                f"Loss_FD: {float(logs['errFD']):.4f}\t"
+                f"Loss_TD: {float(logs['errTD']):.4f}\t"
+                f"Loss_G: {float(logs['errG']):.4f}\t"
+            )
+    return states, pred_metrics.results()
+
+
+def test(
+    dataloader,
+    states: GANStates,
+    eval_step: Callable,
+    mesh,
+    batch_size: int,
+    epoch: int,
+    img_path: str | None = None,
+):
+    """== dcgan/train.py:26-77: eval metrics + first-batch visualization."""
+    fd_metrics = MetricsManager(("accuracy",), prefix="frame_disc")
+    td_metrics = MetricsManager(("accuracy",), prefix="temp_disc")
+    pred_metrics = MetricsManager(
+        ("accuracy", "precision", "recall", "mse"), prefix="pred"
+    )
+    for i, (x, y, mask) in enumerate(_feed(dataloader, mesh, batch_size)):
+        fake, logs = eval_step(states, x, y, mask)
+        if i == 0 and img_path is not None:
+            from ..utils.viz import visualize_predictions
+
+            n = int(np.sum(np.asarray(mask)))
+            visualize_predictions(
+                np.moveaxis(np.asarray(x)[:n], -1, 1),
+                np.moveaxis(np.asarray(y)[:n], -1, 1),
+                np.moveaxis(np.asarray(fake)[:n], -1, 1),
+                epoch,
+                img_path,
+            )
+        fd_metrics.metrics["accuracy"] += IncrementalTuple(
+            np.asarray(logs["fd_acc_nd"])
+        )
+        td_metrics.metrics["accuracy"] += IncrementalTuple(
+            np.asarray(logs["td_acc_nd"])
+        )
+        pred_metrics.update_from_nd(
+            {k: np.asarray(v) for k, v in logs["pred_nd"].items()}
+        )
+    return fd_metrics.results() | td_metrics.results() | pred_metrics.results()

@@ -1,0 +1,209 @@
+"""conv-GAT / U-Net training driver — `python -m convolutional_gat` logic.
+
+Parity with /root/reference/convolutional_gat/train.py:94-265: per-epoch
+fresh loaders, LR print, MSE+sparsity train loss, val eval, plateau/step LR
+scheduling, history.json, best-val checkpointing, per-epoch prediction and
+history plots.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import KeySeq
+from ..data.streaming import get_loaders
+from ..models.registry import build_model
+from ..parallel import MeshContext
+from ..utils.config import ExperimentConfig
+from ..utils.history import plot_history, update_history
+from ..utils.viz import visualize_gat_predictions
+from .checkpoint import save_model
+from .gat_trainer import (
+    _prep_gat_batch,
+    make_gat_eval_step,
+    make_gat_train_step,
+    test,
+)
+from .optim import ReduceLROnPlateau, StepLR, make_optimizer, set_learning_rate
+from .state import create_net_state, param_count
+
+
+def train_single_epoch(
+    *,
+    epoch: int,
+    step,
+    eval_step,
+    state,
+    scheduler,
+    mesh,
+    keys,
+    history: dict,
+    output_path: str,
+    loader_factory,
+    max_batches: int = 0,
+):
+    """== convolutional_gat/train.py:94-155."""
+    train_loader, val_loader, _test_loader = loader_factory()
+    print(f"\nEpoch: {epoch}")
+    print(f"LR: {scheduler.current()}")
+    running_loss = 0.0
+    total_length = 0
+    for i, (x, y) in enumerate(train_loader):
+        if max_batches and i >= max_batches:
+            break
+        if len(x) <= 1:
+            continue
+        xd, yd, mask = _prep_gat_batch(mesh, x, y)
+        state, logs = step(state, xd, yd, mask, keys.next())
+        nd = np.asarray(logs["running_nd"])
+        running_loss += nd[0]
+        total_length += len(x)
+    train_loss = running_loss / max(total_length, 1)
+    print(f"Train loss: {round(float(train_loss), 6)}")
+    history["train_loss"].append(float(train_loss))
+
+    test_result = test(eval_step, state, val_loader, mesh)
+    new_lr = scheduler.step(test_result["val_loss"])
+    set_learning_rate(state.opt_state, new_lr)
+    print(json.dumps(test_result, indent=4))
+    update_history(history, test_result)
+    if output_path:
+        os.makedirs(output_path, exist_ok=True)
+        with open(os.path.join(output_path, "history.json"), "w") as f:
+            json.dump(history, f, indent=4)
+        # best-val checkpoint (reference :151-155)
+        if len(history["val_loss"]) == 1 or test_result["val_loss"] < min(
+            history["val_loss"][:-1]
+        ):
+            print("Saving model.")
+            save_model(
+                os.path.join(output_path, "model.msgpack"),
+                state.params,
+                state.batch_stats,
+            )
+    return state, test_result
+
+
+def train(
+    *,
+    model_type: str = "temporal",
+    optimizer: str = "adam",
+    mapping_type: str = "linear",
+    output_path: str = "",
+    train_batch_size: int = 32,
+    test_batch_size: int = 64,
+    epochs: int = 10,
+    learning_rate: float = 1e-3,
+    lr_step: int = 1,
+    gamma: float = 0.95,
+    plot: bool = True,
+    criterion: str = "mse",
+    weight_decay: float = 0.01,
+    downsample_size=(256, 256),
+    preprocessed_folder: str = "",
+    dataset: str = "kmni",
+    test_first: bool = False,
+    reduce_lr_on_plateau: bool = False,
+    precision: str = "f32",
+    seed: int = 369,
+    max_batches: int = 0,
+    **_ignored,
+):
+    """== convolutional_gat/train.py:158-265 (same kwargs, same flow)."""
+    mesh = MeshContext.create()
+    keys = KeySeq(seed)
+    dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
+    downsample_size = tuple(downsample_size)
+    print(f"Using mesh: data={mesh.n_data} model={mesh.n_model}")
+
+    if dataset == "kmni" and not os.path.isdir(
+        os.path.join(preprocessed_folder, "train")
+    ):
+        print(f"[conv_gat] dataset not found at {preprocessed_folder!r}; "
+              "using synthetic")
+        dataset = "synthetic"
+        preprocessed_folder = ""
+
+    def loader_factory(train_bs=train_batch_size, test_bs=test_batch_size,
+                       shuffle=True):
+        return get_loaders(
+            train_bs, test_bs, preprocessed_folder, None,
+            dataset=dataset, downsample_size=downsample_size,
+            merge_nodes=False, shuffle=shuffle, seed=seed,
+        )
+
+    # probe a val batch for (H, W, T, V) — reference :191-197
+    _, val_loader, _ = loader_factory()
+    x, _y = next(val_loader)
+    _, image_width, image_height, steps, n_vertices = x.shape
+
+    model = build_model(
+        model_type,
+        image_width=image_width,
+        image_height=image_height,
+        n_vertices=n_vertices,
+        mapping_type=mapping_type,
+        time_steps=steps,
+        dtype=dtype,
+    )
+    tx = make_optimizer(optimizer, learning_rate,
+                        weight_decay=weight_decay)
+    state = create_net_state(
+        model, tx, keys.next(),
+        jnp.zeros((2, image_width, image_height, steps, n_vertices),
+                  jnp.float32),
+    )
+    state = mesh.put_replicated(state)
+    print(f"Number of parameters: {param_count(state)}")
+    print(f"Using mapping: {model.mapping_type}")
+
+    step = make_gat_train_step(model, tx)
+    eval_step = make_gat_eval_step(model)
+
+    scheduler = (
+        ReduceLROnPlateau(learning_rate, factor=0.5, patience=0)
+        if reduce_lr_on_plateau
+        else StepLR(learning_rate, lr_step, gamma)
+    )
+
+    history: dict = {"train_loss": []}
+    if test_first:
+        tr_l, _, te_l = loader_factory()
+        result = test(eval_step, state, tr_l, mesh)
+        history["train_loss"].append(result["val_loss"])
+        result = test(eval_step, state, te_l, mesh)
+        print(f"Test loss (without any training): {result['val_loss']:.6f}")
+        update_history(history, result)
+        print(json.dumps(result, indent=4))
+
+    for epoch in range(1, epochs + 1):
+        state, _ = train_single_epoch(
+            epoch=epoch, step=step, eval_step=eval_step, state=state,
+            scheduler=scheduler, mesh=mesh, keys=keys, history=history,
+            output_path=output_path, loader_factory=loader_factory,
+            max_batches=max_batches,
+        )
+        if output_path:
+            _, viz_loader, _ = loader_factory(2, 2)
+            visualize_gat_predictions(
+                lambda xb: _predict_batch(eval_step, state, mesh, xb),
+                viz_loader, epoch=epoch, path=output_path,
+                power=float(getattr(viz_loader, "power", 1.0)),
+            )
+            plot_history(
+                history, title="Training History", save=True,
+                filename=os.path.join(output_path, f"history_{epoch}.png"),
+            )
+    return state, history
+
+
+def _predict_batch(eval_step, state, mesh, xb):
+    xb = np.asarray(xb, np.float32)
+    xd, yd, mask = _prep_gat_batch(mesh, xb, xb)
+    out = eval_step(state, xd, yd, mask, 0.5, 1.0, power=1.0)
+    return np.asarray(out["y_hat"])[: len(xb)]

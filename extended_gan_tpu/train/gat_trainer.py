@@ -1,0 +1,158 @@
+"""conv-GAT / U-Net MSE trainer.
+
+Parity with /root/reference/convolutional_gat/train.py:
+
+- train step loss: MSE(y_hat, y) - 0.0005 * mean(y_hat)  (:131, the
+  sparsity bonus),
+- batches with <= 1 sample are skipped in train AND eval (:127, :52),
+- eval (:28-91): predictions and targets are power-denormalized
+  (y ** (1/loader.power)), the binarization threshold is the MEDIAN OF THE
+  UNIQUE VALUES of the denormalized target batch (:60-61 — data-dependent;
+  computed host-side here since the batch originates on host anyway),
+  accuracy/precision/recall via the scaled thresholded metrics
+  (utils.py:135-167, NaNs dropped :67-68), plus a denormalized MSE scaled
+  by loader.normalizing_max (:70-73),
+- per-epoch: fresh loaders, LR print, val eval, scheduler.step(val_loss),
+  history.json dump, best-val checkpoint (:109-155).
+
+The whole train step (forward, loss, backward, Adam-with-L2, metric sums)
+is one jitted XLA program; the eval math runs jitted with the threshold as
+a traced scalar input so the data-dependent threshold never retriggers
+compilation.
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import os
+import time
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils.metrics import thresholded_metrics
+from .losses import mse
+from .state import NetState
+
+
+def make_gat_train_step(model, tx):
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step(state: NetState, x, y, mask, rng):
+        m = mask.reshape((-1,) + (1,) * (y.ndim - 1))
+
+        def loss_fn(params):
+            variables = {"params": params}
+            has_bs = bool(state.batch_stats)
+            if has_bs:
+                variables["batch_stats"] = state.batch_stats
+            out = model.apply(
+                variables, x, train=True,
+                mutable=["batch_stats"] if has_bs else False,
+                rngs={"dropout": rng},
+            )
+            y_hat, new_bs = (
+                (out[0], out[1]["batch_stats"]) if has_bs
+                else (out, state.batch_stats)
+            )
+            n_el = jnp.maximum(jnp.sum(mask), 1.0) * jnp.float32(y[0].size)
+            sq = jnp.sum(((y_hat - y) ** 2) * m)
+            mean_pred = jnp.sum(y_hat * m) / n_el
+            loss = sq / n_el - 0.0005 * mean_pred  # reference :131
+            return loss, (y_hat, new_bs, sq)
+
+        (loss, (y_hat, new_bs, sq)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        state = state.apply_gradients(tx, grads).replace(batch_stats=new_bs)
+        # running_loss contribution: sum((y_hat-y)^2)/prod(shape[1:])  (:136)
+        running = sq / jnp.float32(y[0].size)
+        return state, {"loss": loss, "running_nd": jnp.stack(
+            [running, jnp.sum(mask)])}
+
+    return step
+
+
+def make_gat_eval_step(model):
+    @functools.partial(jax.jit, static_argnames=("power",))
+    def eval_step(state: NetState, x, y, mask, threshold, normalizing_max,
+                  *, power: float = 1.0):
+        variables = {"params": state.params}
+        if state.batch_stats:
+            variables["batch_stats"] = state.batch_stats
+        y_hat = model.apply(variables, x, train=False)
+        inv = 1.0 / power
+        y_p = y ** inv if power != 1.0 else y
+        y_hat_p = jnp.maximum(y_hat, 0.0) ** inv if power != 1.0 else y_hat
+        m = mask.reshape((-1,) + (1,) * (y.ndim - 1))
+        per_sample = jnp.float32(y[0].size)
+        n_valid = jnp.sum(mask)
+        sq = jnp.sum(((y_p - y_hat_p) ** 2) * m)
+        denorm_sq = jnp.sum((((y_p - y_hat_p) * normalizing_max) ** 2) * m)
+        # mask-exact thresholded metrics (== utils.py:135-167 on the valid
+        # rows; prec/rec scaled by the VALID batch length)
+        mb = jnp.broadcast_to(m, y.shape)
+        yb = (y_p >= threshold).astype(jnp.float32)
+        pb = (y_hat_p >= threshold).astype(jnp.float32)
+        acc = jnp.sum((yb == pb) * mb) / per_sample
+        tp = jnp.sum((pb == 1) * (yb == 1) * mb)
+        fp = jnp.sum((pb == 1) * (yb == 0) * mb)
+        fn = jnp.sum((pb == 0) * (yb == 1) * mb)
+        prec = tp / (tp + fp) * n_valid
+        rec = tp / (tp + fn) * n_valid
+        return {
+            "loss_num": sq / per_sample,
+            "denorm_num": denorm_sq / per_sample,
+            "acc": acc,
+            "prec": prec,
+            "rec": rec,
+            "n": n_valid,
+            "y_hat": y_hat,
+        }
+
+    return eval_step
+
+
+def _prep_gat_batch(mesh, x, y):
+    padded = mesh.padded_batch_size(len(x))
+    x, y, mask = mesh.pad_to_batch_multiple(
+        np.asarray(x, np.float32), np.asarray(y, np.float32),
+        batch_size=padded,
+    )
+    return mesh.put_batch(x, y, mask)
+
+
+def test(eval_step, state, loader, mesh, *, flag: str = "val"):
+    """Validation-set evaluation == convolutional_gat/train.py:28-91."""
+    running_loss = running_acc = running_prec = running_rec = 0.0
+    running_denorm = 0.0
+    total = 0
+    power = float(getattr(loader, "power", 1.0))
+    norm_max = float(getattr(loader, "normalizing_max", 1.0))
+    for x, y in loader:
+        if len(x) <= 1:
+            continue
+        y_p = np.asarray(y, np.float32) ** (1.0 / power)
+        unique = np.unique(y_p)
+        threshold = float(unique[int(len(unique) * 0.5)])  # :60-61
+        xd, yd, mask = _prep_gat_batch(mesh, x, y)
+        out = eval_step(state, xd, yd, mask, threshold, norm_max,
+                        power=power)
+        running_loss += float(out["loss_num"])
+        running_denorm += float(out["denorm_num"])
+        acc, prec, rec = (float(out["acc"]), float(out["prec"]),
+                          float(out["rec"]))
+        running_acc += acc
+        running_prec += prec if not np.isnan(prec) else 0.0
+        running_rec += rec if not np.isnan(rec) else 0.0
+        total += len(x)
+    total = max(total, 1)
+    return {
+        "val_loss": running_loss / total,
+        "val_acc": running_acc / total,
+        "val_prec": running_prec / total,
+        "val_rec": running_rec / total,
+        "val_denorm_mse": running_denorm / total,
+    }

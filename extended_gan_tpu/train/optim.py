@@ -71,9 +71,12 @@ def get_learning_rate(opt_state) -> float:
 
 
 def set_learning_rate(opt_state, lr: float):
-    opt_state.hyperparams["learning_rate"] = type(
-        opt_state.hyperparams["learning_rate"]
-    )(lr)
+    import jax.numpy as jnp
+
+    old = opt_state.hyperparams["learning_rate"]
+    opt_state.hyperparams["learning_rate"] = jnp.asarray(
+        lr, dtype=getattr(old, "dtype", jnp.float32)
+    )
     return opt_state
 
 

@@ -42,21 +42,29 @@ def create_net_state(
     train: bool = False,
     extra_apply_kwargs: dict | None = None,
 ) -> NetState:
-    """Initialize a flax module + optimizer into a NetState."""
+    """Initialize a flax module + optimizer into a NetState.
+
+    The whole init (param sampling + optimizer-state zeros) runs as ONE
+    jitted program — eager init dispatches each op separately, which is
+    pathologically slow on remotely-compiled TPU backends.
+    """
     kwargs = dict(extra_apply_kwargs or {})
-    variables = model.init(
-        {"params": rng, "dropout": jax.random.fold_in(rng, 1)},
-        sample_input,
-        train=train,
-        **kwargs,
-    )
-    params = variables["params"]
-    batch_stats = variables.get("batch_stats", {})
-    return NetState(
-        params=params,
-        batch_stats=batch_stats,
-        opt_state=tx.init(params),
-    )
+
+    @jax.jit
+    def _init(rng):
+        variables = model.init(
+            {"params": rng, "dropout": jax.random.fold_in(rng, 1)},
+            sample_input,
+            train=train,
+            **kwargs,
+        )
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", {})
+        return params, batch_stats, tx.init(params)
+
+    params, batch_stats, opt_state = _init(rng)
+    return NetState(params=params, batch_stats=batch_stats,
+                    opt_state=opt_state)
 
 
 def param_count(state_or_params) -> int:

@@ -82,6 +82,45 @@ def batch_metrics(
     return out
 
 
+def masked_batch_metrics(
+    names: tuple[str, ...],
+    y,
+    y_hat,
+    mask,
+    *,
+    discretizing_threshold: float = 0.5,
+):
+    """Mask-exact variant of :func:`batch_metrics` for padded fixed-shape
+    batches: padded samples (mask==0) contribute nothing. With an all-ones
+    mask the results equal :func:`batch_metrics` exactly."""
+    m = jnp.broadcast_to(
+        mask.reshape((-1,) + (1,) * (y.ndim - 1)).astype(jnp.float32), y.shape
+    )
+    dy = (y < discretizing_threshold).astype(jnp.float32)
+    dyh = (y_hat < discretizing_threshold).astype(jnp.float32)
+    out = {}
+    for name in names:
+        if name == "mse":
+            diff = (y_hat.astype(jnp.float32) - y.astype(jnp.float32)) ** 2
+            out[name] = jnp.stack([jnp.sum(diff * m), jnp.sum(m)])
+        elif name == "accuracy":
+            out[name] = jnp.stack(
+                [jnp.sum((dy == dyh).astype(jnp.float32) * m),
+                 jnp.float32(y[0].size)]
+            )
+        elif name == "precision":
+            tp = jnp.sum((dyh == 1) * (dy == 1) * m)
+            fp = jnp.sum((dyh == 1) * (dy == 0) * m)
+            out[name] = jnp.stack([tp, tp + fp])
+        elif name == "recall":
+            tp = jnp.sum((dyh == 1) * (dy == 1) * m)
+            fn = jnp.sum((dyh == 0) * (dy == 1) * m)
+            out[name] = jnp.stack([tp, tp + fn])
+        else:
+            raise ValueError(name)
+    return out
+
+
 # --------------------------------------------------------------------------
 # Host-side streaming accumulators.
 # --------------------------------------------------------------------------
