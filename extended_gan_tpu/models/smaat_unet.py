@@ -24,34 +24,56 @@ import jax.numpy as jnp
 
 
 class DepthwiseSeparableConv(nn.Module):
+    """Depthwise kxk (grouped) + pointwise 1x1, shared params across two
+    execution paths: the XLA pair of convs, or (``use_pallas=True``, k=3,
+    stride 1) the single fused Pallas kernel from ops/pallas/dsconv."""
+
     nout: int
     kernels_per_layer: int = 1
     kernel_size: int = 3
+    use_pallas: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         nin = x.shape[-1]
         k = self.kernel_size
-        x = nn.Conv(
-            features=nin * self.kernels_per_layer,
-            kernel_size=(k, k),
-            padding=((k // 2, k // 2), (k // 2, k // 2)),
-            feature_group_count=nin,
-            dtype=self.dtype,
-            name="depthwise",
-        )(x)
-        x = nn.Conv(
-            features=self.nout, kernel_size=(1, 1), dtype=self.dtype,
-            name="pointwise",
-        )(x)
-        return x
+        ckpl = nin * self.kernels_per_layer
+        dw = self.param(
+            "depthwise_kernel", nn.initializers.lecun_normal(),
+            (k, k, 1, ckpl),
+        )
+        dwb = self.param("depthwise_bias", nn.initializers.zeros, (ckpl,))
+        pw = self.param(
+            "pointwise_kernel", nn.initializers.lecun_normal(),
+            (1, 1, ckpl, self.nout),
+        )
+        pwb = self.param("pointwise_bias", nn.initializers.zeros,
+                         (self.nout,))
+        if self.use_pallas and k == 3:
+            from ..ops.pallas.dsconv import fused_dsconv
+
+            return fused_dsconv(
+                x, dw[:, :, 0, :], dwb, pw[0, 0], pwb
+            ).astype(self.dtype)
+        dn = ("NHWC", "HWIO", "NHWC")
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), dw.astype(self.dtype), (1, 1),
+            ((k // 2, k // 2), (k // 2, k // 2)),
+            feature_group_count=nin, dimension_numbers=dn,
+        ) + dwb.astype(self.dtype)
+        y = jax.lax.conv_general_dilated(
+            y, pw.astype(self.dtype), (1, 1), "VALID",
+            dimension_numbers=dn,
+        ) + pwb.astype(self.dtype)
+        return y
 
 
 class DoubleConvDS(nn.Module):
     out_channels: int
     mid_channels: int | None = None
     kernels_per_layer: int = 1
+    use_pallas: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -59,7 +81,8 @@ class DoubleConvDS(nn.Module):
         mid = self.mid_channels or self.out_channels
         for i, ch in enumerate((mid, self.out_channels)):
             x = DepthwiseSeparableConv(
-                ch, self.kernels_per_layer, dtype=self.dtype, name=f"dsc{i}"
+                ch, self.kernels_per_layer, use_pallas=self.use_pallas,
+                dtype=self.dtype, name=f"dsc{i}",
             )(x)
             x = nn.BatchNorm(
                 use_running_average=not train, momentum=0.9, epsilon=1e-5,
@@ -133,6 +156,7 @@ def _resize(x, new_h, new_w):
 class DownDS(nn.Module):
     out_channels: int
     kernels_per_layer: int = 1
+    use_pallas: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -140,7 +164,7 @@ class DownDS(nn.Module):
         x = nn.max_pool(x, (2, 2), strides=(2, 2))
         return DoubleConvDS(
             self.out_channels, kernels_per_layer=self.kernels_per_layer,
-            dtype=self.dtype, name="conv",
+            use_pallas=self.use_pallas, dtype=self.dtype, name="conv",
         )(x, train=train)
 
 
@@ -148,6 +172,7 @@ class UpDS(nn.Module):
     out_channels: int
     kernels_per_layer: int = 1
     bilinear: bool = True
+    use_pallas: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -173,8 +198,8 @@ class UpDS(nn.Module):
         x = jnp.concatenate([x2, x1], axis=-1)
         return DoubleConvDS(
             self.out_channels, mid_channels=mid,
-            kernels_per_layer=self.kernels_per_layer, dtype=self.dtype,
-            name="conv",
+            kernels_per_layer=self.kernels_per_layer,
+            use_pallas=self.use_pallas, dtype=self.dtype, name="conv",
         )(x, train=train)
 
 
@@ -187,6 +212,7 @@ class SmaAt_UNet(nn.Module):
     bilinear: bool = True
     reduction_ratio: int = 16
     base: int = 64
+    use_pallas: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -194,34 +220,35 @@ class SmaAt_UNet(nn.Module):
         kpl = self.kernels_per_layer
         b_ = self.base
         factor = 2 if self.bilinear else 1
-        x1 = DoubleConvDS(b_, kernels_per_layer=kpl, dtype=self.dtype,
+        x1 = DoubleConvDS(b_, kernels_per_layer=kpl,
+                          use_pallas=self.use_pallas, dtype=self.dtype,
                           name="inc")(x, train=train)
         x1a = CBAM(self.reduction_ratio, dtype=self.dtype, name="cbam1")(
             x1, train=train)
-        x2 = DownDS(b_ * 2, kpl, dtype=self.dtype, name="down1")(
+        x2 = DownDS(b_ * 2, kpl, use_pallas=self.use_pallas, dtype=self.dtype, name="down1")(
             x1, train=train)
         x2a = CBAM(self.reduction_ratio, dtype=self.dtype, name="cbam2")(
             x2, train=train)
-        x3 = DownDS(b_ * 4, kpl, dtype=self.dtype, name="down2")(
+        x3 = DownDS(b_ * 4, kpl, use_pallas=self.use_pallas, dtype=self.dtype, name="down2")(
             x2, train=train)
         x3a = CBAM(self.reduction_ratio, dtype=self.dtype, name="cbam3")(
             x3, train=train)
-        x4 = DownDS(b_ * 8, kpl, dtype=self.dtype, name="down3")(
+        x4 = DownDS(b_ * 8, kpl, use_pallas=self.use_pallas, dtype=self.dtype, name="down3")(
             x3, train=train)
         x4a = CBAM(self.reduction_ratio, dtype=self.dtype, name="cbam4")(
             x4, train=train)
-        x5 = DownDS(b_ * 16 // factor, kpl, dtype=self.dtype, name="down4")(
+        x5 = DownDS(b_ * 16 // factor, kpl, use_pallas=self.use_pallas, dtype=self.dtype, name="down4")(
             x4, train=train)
         x5a = CBAM(self.reduction_ratio, dtype=self.dtype, name="cbam5")(
             x5, train=train)
-        x = UpDS(b_ * 8 // factor, kpl, self.bilinear, dtype=self.dtype,
-                 name="up1")(x5a, x4a, train=train)
-        x = UpDS(b_ * 4 // factor, kpl, self.bilinear, dtype=self.dtype,
-                 name="up2")(x, x3a, train=train)
-        x = UpDS(b_ * 2 // factor, kpl, self.bilinear, dtype=self.dtype,
-                 name="up3")(x, x2a, train=train)
-        x = UpDS(b_, kpl, self.bilinear, dtype=self.dtype, name="up4")(
-            x, x1a, train=train)
+        x = UpDS(b_ * 8 // factor, kpl, self.bilinear, use_pallas=self.use_pallas,
+                 dtype=self.dtype, name="up1")(x5a, x4a, train=train)
+        x = UpDS(b_ * 4 // factor, kpl, self.bilinear, use_pallas=self.use_pallas,
+                 dtype=self.dtype, name="up2")(x, x3a, train=train)
+        x = UpDS(b_ * 2 // factor, kpl, self.bilinear, use_pallas=self.use_pallas,
+                 dtype=self.dtype, name="up3")(x, x2a, train=train)
+        x = UpDS(b_, kpl, self.bilinear, use_pallas=self.use_pallas,
+                 dtype=self.dtype, name="up4")(x, x1a, train=train)
         return nn.Conv(
             self.n_classes, kernel_size=(1, 1), dtype=self.dtype, name="outc"
         )(x).astype(jnp.float32)

@@ -112,6 +112,8 @@ def train(
     precision: str = "f32",
     seed: int = 369,
     max_batches: int = 0,
+    resume: bool = False,
+    checkpoint_every: int = 0,
     **_ignored,
 ):
     """== convolutional_gat/train.py:158-265 (same kwargs, same flow)."""
@@ -172,6 +174,29 @@ def train(
     )
 
     history: dict = {"train_loss": []}
+    start_epoch = 1
+    ckpt_mgr = None
+    if output_path and (resume or checkpoint_every):
+        from .checkpoint import CheckpointManager
+
+        ckpt_mgr = CheckpointManager(
+            os.path.join(output_path, "checkpoints"), max_to_keep=2
+        )
+        if resume and ckpt_mgr.latest_step() is not None:
+            restored = ckpt_mgr.restore(
+                {"state": state, "epoch": 0, "lr": learning_rate}
+            )
+            state = mesh.put_replicated(restored["state"])
+            start_epoch = int(restored["epoch"]) + 1
+            scheduler.lr = float(restored["lr"]) if hasattr(
+                scheduler, "lr") else scheduler.base_lr
+            hist_path = os.path.join(output_path, "history.json")
+            if os.path.exists(hist_path):
+                with open(hist_path) as f:
+                    history = json.load(f)
+            print(f"[resume] restored epoch {start_epoch - 1}; "
+                  f"continuing at {start_epoch}")
+
     if test_first:
         tr_l, _, te_l = loader_factory()
         result = test(eval_step, state, tr_l, mesh)
@@ -181,7 +206,7 @@ def train(
         update_history(history, result)
         print(json.dumps(result, indent=4))
 
-    for epoch in range(1, epochs + 1):
+    for epoch in range(start_epoch, epochs + 1):
         state, _ = train_single_epoch(
             epoch=epoch, step=step, eval_step=eval_step, state=state,
             scheduler=scheduler, mesh=mesh, keys=keys, history=history,
@@ -199,6 +224,17 @@ def train(
                 history, title="Training History", save=True,
                 filename=os.path.join(output_path, f"history_{epoch}.png"),
             )
+        if ckpt_mgr is not None and (
+            not checkpoint_every or epoch % checkpoint_every == 0
+            or epoch == epochs
+        ):
+            ckpt_mgr.save(
+                epoch,
+                {"state": state, "epoch": epoch,
+                 "lr": float(scheduler.current())},
+            )
+    if ckpt_mgr is not None:
+        ckpt_mgr.close()
     return state, history
 
 

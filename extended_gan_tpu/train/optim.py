@@ -71,12 +71,14 @@ def get_learning_rate(opt_state) -> float:
 
 
 def set_learning_rate(opt_state, lr: float):
+    import jax
     import jax.numpy as jnp
 
     old = opt_state.hyperparams["learning_rate"]
-    opt_state.hyperparams["learning_rate"] = jnp.asarray(
-        lr, dtype=getattr(old, "dtype", jnp.float32)
-    )
+    new = jnp.asarray(lr, dtype=getattr(old, "dtype", jnp.float32))
+    if hasattr(old, "sharding"):
+        new = jax.device_put(new, old.sharding)
+    opt_state.hyperparams["learning_rate"] = new
     return opt_state
 
 

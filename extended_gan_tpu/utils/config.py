@@ -47,6 +47,8 @@ class ExperimentConfig:
     data_axis: int | None = None  # devices on the data-parallel mesh axis
     model_axis: int = 1  # devices on the model-parallel mesh axis
     seed: int = 369
+    resume: bool = False  # restore full train state from checkpoints/
+    checkpoint_every: int = 0  # Orbax full-state snapshot cadence (epochs)
 
     def to_dict(self) -> dict[str, Any]:
         return dataclasses.asdict(self)
