@@ -1,0 +1,159 @@
+"""ctypes bindings for the native input-pipeline core (native/egt_native.cpp).
+
+Compiled on demand with g++ into a content-hashed .so under
+~/.cache/egt_native/ (no pip, no pybind11). Every entry point has a pure
+numpy fallback, so the framework works without a toolchain; the native path
+removes the GIL + extra passes from the per-batch host work.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_SRC = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "native",
+    "egt_native.cpp",
+)
+_CACHE_DIR = os.path.expanduser(
+    os.environ.get("EGT_NATIVE_CACHE", "~/.cache/egt_native")
+)
+_lock = threading.Lock()
+_lib: ctypes.CDLL | None = None
+_lib_failed = False
+
+_f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+_i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+
+
+def _build() -> str | None:
+    try:
+        with open(_SRC, "rb") as f:
+            digest = hashlib.sha256(f.read()).hexdigest()[:16]
+    except OSError:
+        return None
+    os.makedirs(_CACHE_DIR, exist_ok=True)
+    so_path = os.path.join(_CACHE_DIR, f"egt_native_{digest}.so")
+    if os.path.exists(so_path):
+        return so_path
+    tmp = so_path + f".tmp{os.getpid()}"
+    cmd = [
+        "g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread",
+        _SRC, "-o", tmp,
+    ]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        os.replace(tmp, so_path)
+        return so_path
+    except (subprocess.SubprocessError, OSError) as e:
+        print(f"[egt_native] build failed ({e}); using numpy fallback")
+        return None
+
+
+def get_lib() -> ctypes.CDLL | None:
+    global _lib, _lib_failed
+    if _lib is not None or _lib_failed:
+        return _lib
+    if os.environ.get("EGT_NATIVE", "1") == "0":
+        _lib_failed = True
+        return None
+    with _lock:
+        if _lib is not None or _lib_failed:
+            return _lib
+        so = _build()
+        if so is None:
+            _lib_failed = True
+            return None
+        lib = ctypes.CDLL(so)
+        lib.kmni_make_batch.argtypes = [
+            _f32p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, _i64p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_float, ctypes.c_float,
+            _f32p, _f32p,
+        ]
+        lib.kmni_make_batch.restype = None
+        lib.window_gather.argtypes = [
+            _f32p, ctypes.c_int64, ctypes.c_int64, _i64p, ctypes.c_int64,
+            ctypes.c_int64, _f32p,
+        ]
+        lib.window_gather.restype = None
+        lib.minmax_normalize.argtypes = [
+            _f32p, ctypes.c_int64, ctypes.c_float, ctypes.c_float,
+        ]
+        lib.minmax_normalize.restype = None
+        lib.egt_native_abi_version.restype = ctypes.c_int
+        assert lib.egt_native_abi_version() == 1
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return get_lib() is not None
+
+
+# --------------------------------------------------------------------------
+# High-level entry points (native with numpy fallback)
+# --------------------------------------------------------------------------
+def kmni_make_batch(
+    video: np.ndarray,
+    starts: np.ndarray,
+    *,
+    steps: int = 4,
+    crop: int | None = None,
+    max_value: float = 254.0,
+    power: float = 1.0,
+):
+    """Fused window-gather + normalize + (T,V,H,W)->(B,H,W,S,V) transform.
+
+    video: (T, V, H, W) raw float32; starts: (n,) window start frames.
+    Returns (x, y) each (n, crop, crop, steps, V) float32 normalized.
+    """
+    video = np.ascontiguousarray(video, np.float32)
+    starts = np.ascontiguousarray(starts, np.int64)
+    t, v, h, w = video.shape
+    ch = cw = crop if crop is not None else h
+    ch, cw = min(ch, h), min(cw, w)
+    n = len(starts)
+    lib = get_lib()
+    if lib is not None:
+        x = np.empty((n, ch, cw, steps, v), np.float32)
+        y = np.empty((n, ch, cw, steps, v), np.float32)
+        lib.kmni_make_batch(
+            video, t, v, h, w, starts, n, steps, ch, cw,
+            np.float32(1.0 / max_value), np.float32(power), x, y,
+        )
+        return x, y
+
+    # numpy fallback — identical math
+    norm = (video / max_value) ** power if power != 1.0 else video / max_value
+    idx = starts[:, None] + np.arange(2 * steps)[None, :]
+    wins = norm[idx]  # (n, 2S, V, H, W)
+    wins = wins[:, :, :, :ch, :cw].transpose(0, 3, 4, 1, 2)  # (n,H,W,2S,V)
+    return (
+        np.ascontiguousarray(wins[:, :, :, :steps]),
+        np.ascontiguousarray(wins[:, :, :, steps:]),
+    )
+
+
+def window_gather(frames: np.ndarray, starts: np.ndarray, window: int):
+    """(N, ...) frames + starts -> contiguous (n, window, ...) batch."""
+    frames = np.ascontiguousarray(frames, np.float32)
+    starts = np.ascontiguousarray(starts, np.int64)
+    n = len(starts)
+    feat = int(np.prod(frames.shape[1:]))
+    lib = get_lib()
+    if lib is not None:
+        out = np.empty((n, window) + frames.shape[1:], np.float32)
+        lib.window_gather(
+            frames.reshape(len(frames), feat), len(frames), feat, starts, n,
+            window, out.reshape(n, window, feat),
+        )
+        return out
+    idx = starts[:, None] + np.arange(window)[None, :]
+    return np.ascontiguousarray(frames[idx])

@@ -189,6 +189,7 @@ class KmniLoader(_FileStream):
         merge_nodes: bool = False,
         power: float = 1.0,
         seed: int = 369,
+        use_native: bool = True,
     ):
         super().__init__(folder, shuffle=shuffle, seed=seed)
         self.batch_size = batch_size
@@ -199,8 +200,27 @@ class KmniLoader(_FileStream):
         self.normalizing_max = 254.0
         self.device = device
         self.data_folder = folder
-        self.remainder = self._segmentify(self.read_next_file())
-        self.file_length = self.remainder.shape[0] * self.remainder.shape[1]
+        # Native fast path (no mosaic support): raw video + window starts;
+        # batches are materialized by the C++ core (data/native.py) with
+        # gather/normalize/layout fused. Falls back transparently.
+        self.use_native = use_native and not merge_nodes
+        if self.use_native:
+            self._video: np.ndarray | None = None
+            self._starts = np.empty((0,), np.int64)
+            self._advance_file()
+            self.file_length = len(self._starts) * 2 * time_steps
+        else:
+            self.remainder = self._segmentify(self.read_next_file())
+            self.file_length = (
+                self.remainder.shape[0] * self.remainder.shape[1]
+            )
+
+    def _advance_file(self):
+        w = 2 * self.time_steps
+        data = truncate_to_multiple(self.read_next_file(), w)
+        self._video = np.ascontiguousarray(data, np.float32)
+        n_windows = max(len(self._video) - w + 1, 0)
+        self._starts = np.arange(n_windows, dtype=np.int64)
 
     def _segmentify(self, data: np.ndarray) -> np.ndarray:
         w = 2 * self.time_steps
@@ -230,6 +250,8 @@ class KmniLoader(_FileStream):
         return split
 
     def __next__(self):
+        if self.use_native:
+            return self._next_native()
         if self.remainder.shape[1] == 0:
             data = self._segmentify(self.read_next_file())
         else:
@@ -243,6 +265,24 @@ class KmniLoader(_FileStream):
         return np.ascontiguousarray(result[0][idx]), np.ascontiguousarray(
             result[1][idx]
         )
+
+    def _next_native(self):
+        from .native import kmni_make_batch
+
+        while len(self._starts) == 0:
+            self._advance_file()  # raises StopIteration at end of files
+        batch_starts = self._starts[: self.batch_size]
+        self._starts = self._starts[self.batch_size :]
+        idx = self.perm(len(batch_starts))
+        x, y = kmni_make_batch(
+            self._video,
+            batch_starts[idx],
+            steps=self.time_steps,
+            crop=self.crop,
+            max_value=self.normalizing_max,
+            power=self.power,
+        )
+        return x, y
 
     def __iter__(self):
         return self
