@@ -159,20 +159,35 @@ class GATMultiHead3D(nn.Module):
 
     @nn.compact
     def __call__(self, x, *, train: bool = True):
-        outs = [
-            GAT3DHead(
-                nfeat=self.nfeat, nhid=self.nhid,
-                n_vertices=self.n_vertices or x.shape[-1],
-                alpha=self.alpha, type_=self.type_,
-                mapping_type=self.mapping_type, dtype=self.dtype,
-                name=f"head_{i}",
-            )(x, train=train)
-            for i in range(self.nheads)
-        ]
-        out = outs[0]
-        for o in outs[1:]:
-            out = out + o
-        return out / float(self.nheads)
+        common = dict(
+            nfeat=self.nfeat, nhid=self.nhid,
+            n_vertices=self.n_vertices or x.shape[-1],
+            alpha=self.alpha, type_=self.type_,
+            mapping_type=self.mapping_type, dtype=self.dtype,
+        )
+        if self.mapping_type == "smaat_unet":
+            # the smaat mapping holds BatchNorm, whose train flag lifted
+            # vmap cannot thread — unroll this (rare) configuration
+            outs = [
+                GAT3DHead(name=f"head_{i}", **common)(x, train=train)
+                for i in range(self.nheads)
+            ]
+            return sum(outs) / float(self.nheads)
+        # Heads run as ONE vmapped program (params stacked on a leading
+        # head axis) rather than nheads unrolled copies of the graph —
+        # same math, ~nheads-times smaller HLO and compile time. The
+        # linear/conv mappings are train-agnostic, so dropping the kwarg
+        # is sound.
+        VHead = nn.vmap(
+            GAT3DHead,
+            in_axes=None,
+            out_axes=0,
+            axis_size=self.nheads,
+            variable_axes={"params": 0},
+            split_rngs={"params": True},
+        )
+        outs = VHead(name="heads", **common)(x)
+        return jnp.mean(outs, axis=0)
 
 
 class Model(nn.Module):
