@@ -24,17 +24,11 @@ compilation.
 from __future__ import annotations
 
 import functools
-import json
-import os
-import time
-from typing import Callable
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..utils.metrics import thresholded_metrics
-from .losses import mse
 from .state import NetState
 
 

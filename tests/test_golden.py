@@ -1,0 +1,49 @@
+"""Golden-number regression oracle.
+
+The reference's de-facto regression suite is its committed per-experiment
+history.json numbers (SURVEY section 4.3). Its datasets aren't available
+here, so we pin our own: a fully-deterministic 2-epoch conv-GAT run on
+seeded synthetic data. If training numerics drift (loss math, loader
+semantics, optimizer, init), this breaks loudly.
+
+Golden values recorded on the 8-virtual-device CPU mesh. Tolerance is 2%
+relative: XLA version / fast-math variation, not logic changes, fit inside.
+"""
+
+import numpy as np
+import pytest
+
+from extended_gan_tpu.data.synthetic import make_kmni_dataset
+
+GOLDEN = {
+    # recorded 2026-08-16, jax 0.9.0 CPU. values after epochs 1, 2.
+    "val_loss": [0.12026, 0.11356],
+    "train_loss": [0.13351, 0.12951],
+}
+
+
+@pytest.fixture(scope="module")
+def kmni_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("kmni_golden")
+    make_kmni_dataset(str(d), n_train_files=2, n_test_files=1,
+                      frames_per_file=20, n_vertices=6, hw=16, seed=42)
+    return str(d)
+
+
+def test_golden_conv_gat_training_curve(kmni_dir):
+    from extended_gan_tpu.train.gat_driver import train
+
+    state, history = train(
+        model_type="temporal", optimizer="adam", mapping_type="conv",
+        output_path="", train_batch_size=8, test_batch_size=8,
+        epochs=2, learning_rate=1e-3, lr_step=1, gamma=0.95,
+        downsample_size=(16, 16), preprocessed_folder=kmni_dir,
+        dataset="kmni", seed=123,
+    )
+    print("observed:", {k: [round(v, 5) for v in history[k]]
+                        for k in ("val_loss", "train_loss")})
+    for key, golden in GOLDEN.items():
+        observed = history[key]
+        assert len(observed) == len(golden)
+        for o, g in zip(observed, golden):
+            assert abs(o - g) / abs(g) < 0.02, (key, observed, golden)
