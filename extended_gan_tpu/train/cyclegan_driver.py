@@ -129,12 +129,12 @@ def train(
             train_loader = itertools.islice(iter(train_loader), max_batches)
 
         train_mse = MetricsManager(("mse",), prefix="train")
+        pending = []
         for i, (x, y, mask) in enumerate(
             _feed(train_loader, mesh, train_batch_size)
         ):
             states, logs = step(states, x, y, mask, keys.next())
-            train_mse.metrics["mse"] += IncrementalTuple(
-                np.asarray(logs["train_mse_nd"]))
+            pending.append(logs["train_mse_nd"])
             if i % log_every == 0:
                 print(
                     f"Loss_G: {float(logs['g_loss']):.4f}\t"
@@ -142,15 +142,19 @@ def train(
                     f"Loss_DX: {float(logs['d_x_loss']):.4f}\t"
                     f"Loss_DY: {float(logs['d_y_loss']):.4f}"
                 )
+        import jax
+
+        for nd in jax.device_get(pending):
+            train_mse.metrics["mse"] += IncrementalTuple(nd)
 
         # eval
         pred_mse = IncrementalTuple()
         cycle_l1 = IncrementalTuple()
+        pending = []
         first = True
         for x, y, mask in _feed(test_loader, mesh, test_batch_size):
             fake_y, logs = eval_step(states, x, y, mask)
-            pred_mse += IncrementalTuple(np.asarray(logs["pred_mse_nd"]))
-            cycle_l1 += IncrementalTuple(np.asarray(logs["cycle_l1_nd"]))
+            pending.append(logs)
             if first:
                 from ..utils.viz import visualize_predictions
 
@@ -162,6 +166,9 @@ def train(
                     epoch, img_path,
                 )
                 first = False
+        for logs in jax.device_get(pending):
+            pred_mse += IncrementalTuple(logs["pred_mse_nd"])
+            cycle_l1 += IncrementalTuple(logs["cycle_l1_nd"])
         results = train_mse.results() | {
             "pred_mse": pred_mse.item(),
             "cycle_l1": cycle_l1.item(),

@@ -259,19 +259,23 @@ def train_single_epoch(
     pred_metrics = MetricsManager(("mse",), prefix="train")
     inc_acc_fd = IncrementalTuple()
     inc_acc_td = IncrementalTuple()
+    # Per-batch device->host fetches cost a full round trip each (tens of
+    # ms over a remote link); logs stay on device and are fetched in ONE
+    # transfer at epoch end. Only the periodic loss print synchronizes.
+    pending = []
     for i, (x, y, mask) in enumerate(_feed(dataloader, mesh, batch_size)):
         states, logs = step(states, x, y, mask, rng_keys.next())
-        pred_metrics.metrics["mse"] += IncrementalTuple(
-            np.asarray(logs["train_mse_nd"])
-        )
-        inc_acc_fd += IncrementalTuple(np.asarray(logs["fd_acc_nd"]))
-        inc_acc_td += IncrementalTuple(np.asarray(logs["td_acc_nd"]))
+        pending.append(logs)
         if i % log_every == 0:
             print(
                 f"Loss_FD: {float(logs['errFD']):.4f}\t"
                 f"Loss_TD: {float(logs['errTD']):.4f}\t"
                 f"Loss_G: {float(logs['errG']):.4f}\t"
             )
+    for logs in jax.device_get(pending):
+        pred_metrics.metrics["mse"] += IncrementalTuple(logs["train_mse_nd"])
+        inc_acc_fd += IncrementalTuple(logs["fd_acc_nd"])
+        inc_acc_td += IncrementalTuple(logs["td_acc_nd"])
     return states, pred_metrics.results()
 
 
@@ -290,8 +294,10 @@ def test(
     pred_metrics = MetricsManager(
         ("accuracy", "precision", "recall", "mse"), prefix="pred"
     )
+    pending = []
     for i, (x, y, mask) in enumerate(_feed(dataloader, mesh, batch_size)):
         fake, logs = eval_step(states, x, y, mask)
+        pending.append(logs)
         if i == 0 and img_path is not None:
             from ..utils.viz import visualize_predictions
 
@@ -303,13 +309,8 @@ def test(
                 epoch,
                 img_path,
             )
-        fd_metrics.metrics["accuracy"] += IncrementalTuple(
-            np.asarray(logs["fd_acc_nd"])
-        )
-        td_metrics.metrics["accuracy"] += IncrementalTuple(
-            np.asarray(logs["td_acc_nd"])
-        )
-        pred_metrics.update_from_nd(
-            {k: np.asarray(v) for k, v in logs["pred_nd"].items()}
-        )
+    for logs in jax.device_get(pending):
+        fd_metrics.metrics["accuracy"] += IncrementalTuple(logs["fd_acc_nd"])
+        td_metrics.metrics["accuracy"] += IncrementalTuple(logs["td_acc_nd"])
+        pred_metrics.update_from_nd(logs["pred_nd"])
     return fd_metrics.results() | td_metrics.results() | pred_metrics.results()

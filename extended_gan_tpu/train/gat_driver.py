@@ -53,6 +53,7 @@ def train_single_epoch(
     print(f"LR: {scheduler.current()}")
     running_loss = 0.0
     total_length = 0
+    pending = []  # device scalars; single fetch at epoch end (RTT-bound)
     for i, (x, y) in enumerate(train_loader):
         if max_batches and i >= max_batches:
             break
@@ -60,9 +61,12 @@ def train_single_epoch(
             continue
         xd, yd, mask = _prep_gat_batch(mesh, x, y)
         state, logs = step(state, xd, yd, mask, keys.next())
-        nd = np.asarray(logs["running_nd"])
-        running_loss += nd[0]
+        pending.append(logs["running_nd"])
         total_length += len(x)
+    import jax
+
+    for nd in jax.device_get(pending):
+        running_loss += nd[0]
     train_loss = running_loss / max(total_length, 1)
     print(f"Train loss: {round(float(train_loss), 6)}")
     history["train_loss"].append(float(train_loss))

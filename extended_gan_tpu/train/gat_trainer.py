@@ -125,6 +125,7 @@ def test(eval_step, state, loader, mesh, *, flag: str = "val"):
     total = 0
     power = float(getattr(loader, "power", 1.0))
     norm_max = float(getattr(loader, "normalizing_max", 1.0))
+    pending = []  # scalar metrics stay on device; ONE fetch at the end
     for x, y in loader:
         if len(x) <= 1:
             continue
@@ -134,14 +135,15 @@ def test(eval_step, state, loader, mesh, *, flag: str = "val"):
         xd, yd, mask = _prep_gat_batch(mesh, x, y)
         out = eval_step(state, xd, yd, mask, threshold, norm_max,
                         power=power)
+        pending.append({k: v for k, v in out.items() if k != "y_hat"})
+        total += len(x)
+    for out in jax.device_get(pending):
         running_loss += float(out["loss_num"])
         running_denorm += float(out["denorm_num"])
-        acc, prec, rec = (float(out["acc"]), float(out["prec"]),
-                          float(out["rec"]))
-        running_acc += acc
+        running_acc += float(out["acc"])
+        prec, rec = float(out["prec"]), float(out["rec"])
         running_prec += prec if not np.isnan(prec) else 0.0
         running_rec += rec if not np.isnan(rec) else 0.0
-        total += len(x)
     total = max(total, 1)
     return {
         "val_loss": running_loss / total,

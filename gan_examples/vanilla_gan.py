@@ -43,6 +43,10 @@ def parse_args(argv=None):
     parser.add_argument("--precision", choices=("f32", "bf16"), default="f32")
     parser.add_argument("--max_batches", type=int, default=0,
                         help="stop after this many batches (0 = full run)")
+    parser.add_argument("--log_every", type=int, default=1,
+                        help="print losses every N batches (each print "
+                             "synchronizes with the device; raise this on "
+                             "remote-attached TPUs)")
     return parser.parse_args(argv)
 
 
@@ -128,11 +132,12 @@ def main(argv=None):
             real = mesh.put_batch(imgs)
             g_state, d_state, losses = step(g_state, d_state, real,
                                             keys.next())
-            print(
-                "[Epoch %d/%d] [Batch %d/%d] [D loss: %f] [G loss: %f]"
-                % (epoch, opt.n_epochs, i, n_batches,
-                   float(losses["d_loss"]), float(losses["g_loss"]))
-            )
+            if batches_done % opt.log_every == 0:
+                print(
+                    "[Epoch %d/%d] [Batch %d/%d] [D loss: %f] [G loss: %f]"
+                    % (epoch, opt.n_epochs, i, n_batches,
+                       float(losses["d_loss"]), float(losses["g_loss"]))
+                )
             if batches_done % opt.sample_interval == 0:
                 gen = np.asarray(sample(g_state, fixed_z))
                 save_image_grid(gen, os.path.join(opt.out_dir,
