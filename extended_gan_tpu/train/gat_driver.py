@@ -118,6 +118,7 @@ def train(
     max_batches: int = 0,
     resume: bool = False,
     checkpoint_every: int = 0,
+    remat: bool = False,
     **_ignored,
 ):
     """== convolutional_gat/train.py:158-265 (same kwargs, same flow)."""
@@ -168,7 +169,7 @@ def train(
     print(f"Number of parameters: {param_count(state)}")
     print(f"Using mapping: {model.mapping_type}")
 
-    step = make_gat_train_step(model, tx)
+    step = make_gat_train_step(model, tx, remat=remat)
     eval_step = make_gat_eval_step(model)
 
     scheduler = (

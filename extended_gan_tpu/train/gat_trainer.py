@@ -32,21 +32,32 @@ import numpy as np
 from .state import NetState
 
 
-def make_gat_train_step(model, tx):
+def make_gat_train_step(model, tx, *, remat: bool = False):
+    """remat=True rematerializes the forward during the backward pass
+    (jax.checkpoint) — trades recompute FLOPs for activation HBM, the knob
+    that lets the 4M-param SmaAt-UNet train at large spatial sizes."""
+
+    def forward(params, batch_stats, x, rng, has_bs):
+        variables = {"params": params}
+        if has_bs:
+            variables["batch_stats"] = batch_stats
+        return model.apply(
+            variables, x, train=True,
+            mutable=["batch_stats"] if has_bs else False,
+            rngs={"dropout": rng},
+        )
+
+    fwd = (
+        jax.checkpoint(forward, static_argnums=(4,)) if remat else forward
+    )
+
     @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state: NetState, x, y, mask, rng):
         m = mask.reshape((-1,) + (1,) * (y.ndim - 1))
 
         def loss_fn(params):
-            variables = {"params": params}
             has_bs = bool(state.batch_stats)
-            if has_bs:
-                variables["batch_stats"] = state.batch_stats
-            out = model.apply(
-                variables, x, train=True,
-                mutable=["batch_stats"] if has_bs else False,
-                rngs={"dropout": rng},
-            )
+            out = fwd(params, state.batch_stats, x, rng, has_bs)
             y_hat, new_bs = (
                 (out[0], out[1]["batch_stats"]) if has_bs
                 else (out, state.batch_stats)

@@ -49,6 +49,7 @@ class ExperimentConfig:
     seed: int = 369
     resume: bool = False  # restore full train state from checkpoints/
     checkpoint_every: int = 0  # Orbax full-state snapshot cadence (epochs)
+    remat: bool = False  # rematerialize forward in backward (saves HBM)
 
     def to_dict(self) -> dict[str, Any]:
         return dataclasses.asdict(self)
