@@ -20,7 +20,7 @@ reference's weights_init is a no-op).
 
 from __future__ import annotations
 
-from typing import Any, Callable, Sequence
+from typing import Any, Callable
 
 import flax.linen as nn
 import jax.numpy as jnp

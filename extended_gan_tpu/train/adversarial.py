@@ -21,7 +21,7 @@ Update-order semantics are preserved exactly:
 from __future__ import annotations
 
 import functools
-from typing import Any
+
 
 import jax
 import jax.numpy as jnp

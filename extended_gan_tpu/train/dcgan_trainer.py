@@ -26,7 +26,7 @@ transposes once to NHWC (B, H, W, T) — frames-as-channels.
 from __future__ import annotations
 
 import functools
-import json
+
 import os
 from typing import Callable
 

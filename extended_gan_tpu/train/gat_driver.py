@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import json
 import os
-import time
+
 
 import jax.numpy as jnp
 import numpy as np
@@ -19,7 +19,7 @@ from ..core import KeySeq
 from ..data.streaming import get_loaders
 from ..models.registry import build_model
 from ..parallel import MeshContext
-from ..utils.config import ExperimentConfig
+
 from ..utils.history import plot_history, update_history
 from ..utils.viz import visualize_gat_predictions
 from .checkpoint import save_model

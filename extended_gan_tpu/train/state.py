@@ -11,7 +11,7 @@ convolutional_gat/train.py:151-155 — no resume).
 
 from __future__ import annotations
 
-from typing import Any, Callable
+from typing import Any
 
 import flax.struct
 import jax
