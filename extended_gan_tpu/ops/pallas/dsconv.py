@@ -145,6 +145,128 @@ def _pallas_forward(x, dw_kernel, dw_bias, pw_kernel, pw_bias, *,
     )(xp, dw_t, dwb_t, pw_t, pwb)
 
 
+def _dsc_tiled_kernel(x_ref, dw_ref, dwb_ref, pw_ref, pwb_ref, out_ref, *,
+                      kpl):
+    """Channel-tiled variant: grid (B, Cout tiles, Cin tiles).
+
+    Weights arrive with the j (kernels-per-layer) axis split out:
+    dw (3, 3, kpl, Tc), dwb (kpl, Tc), pw (kpl, Tc, Tco), pwb (1, Tco).
+    The output block is revisited across the innermost (Cin-tile) grid
+    axis and accumulated in VMEM.
+    """
+    _, hp, wp, tc = x_ref.shape
+    h, w = hp - 2, wp - 2
+    tco = out_ref.shape[-1]
+    ci = pl.program_id(2)
+    n_ci = pl.num_programs(2)
+
+    x = x_ref[0]
+    acc_out = jnp.zeros((h * w, tco), jnp.float32)
+    for j in range(kpl):
+        acc = jnp.zeros((h, w, tc), jnp.float32)
+        for di in range(3):
+            for dj in range(3):
+                acc = acc + (
+                    x[di : di + h, dj : dj + w, :].astype(jnp.float32)
+                    * dw_ref[di, dj, j, :].astype(jnp.float32)
+                )
+        acc = acc + dwb_ref[j].astype(jnp.float32)
+        acc_out = acc_out + jnp.dot(
+            acc.reshape(h * w, tc),
+            pw_ref[j].astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(ci == 0)
+    def _():
+        out_ref[0] = (
+            acc_out.reshape(h, w, tco) + pwb_ref[0].astype(jnp.float32)
+        )
+
+    @pl.when(ci != 0)
+    def _():
+        out_ref[0] = out_ref[0] + acc_out.reshape(h, w, tco)
+
+
+def _pick_tile(total: int, budget: int) -> int:
+    """Largest legal channel tile <= budget.
+
+    Mosaic requires the minormost block dim to be a multiple of 128 or the
+    full axis size, so valid tiles are ``total`` itself or 128*k divisors.
+    Returns ``total`` (no tiling) when no smaller legal tile exists.
+    """
+    if total <= budget:
+        return total
+    k = budget // 128
+    while k >= 1:
+        if total % (128 * k) == 0:
+            return 128 * k
+        k -= 1
+    return total
+
+
+def _pallas_forward_tiled(x, dw_kernel, dw_bias, pw_kernel, pw_bias, *,
+                          interpret=False):
+    """Cin/Cout-tiled fused DSC for shapes whose whole-channel footprint
+    exceeds VMEM. Same grouped-order weights as the public op; the kpl axis
+    is split outside the kernel so each Cin tile is contiguous."""
+    b, h, w, c = x.shape
+    ckpl = dw_kernel.shape[-1]
+    kpl = ckpl // c
+    cout = pw_kernel.shape[-1]
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    hp, wp = h + 2, w + 2
+
+    # budget ~3MB per channel-tile buffer (128-channel tiles stay legal at
+    # spatial sizes up to ~76x76)
+    tc = _pick_tile(c, max(1, (3 << 20) // (4 * hp * wp)))
+    tco = _pick_tile(cout, max(1, (3 << 20) // (4 * h * w)))
+    # total VMEM footprint with the chosen tiles must fit
+    need = 4 * (
+        hp * wp * tc + h * w * tc + h * w * tco
+        + kpl * tc * tco + 9 * kpl * tc
+    )
+    if need > 12 * (1 << 20):
+        return _reference_dsc(x, dw_kernel, dw_bias, pw_kernel, pw_bias)
+
+    # grouped order (g*kpl + j) -> split axes (j, g): dw[:, :, j, g]
+    dw_split = dw_kernel.reshape(3, 3, c, kpl).transpose(0, 1, 3, 2)
+    dwb_split = dw_bias.reshape(c, kpl).T  # (kpl, C)
+    pw_split = pw_kernel.reshape(c, kpl, cout).transpose(1, 0, 2)
+    pwb = pw_bias.reshape(1, cout)
+
+    kernel = functools.partial(_dsc_tiled_kernel, kpl=kpl)
+    return pl.pallas_call(
+        kernel,
+        grid=(b, cout // tco, c // tc),
+        in_specs=[
+            pl.BlockSpec((1, hp, wp, tc), lambda i, co, ci: (i, 0, 0, ci),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, 3, kpl, tc), lambda i, co, ci: (0, 0, 0, ci),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((kpl, tc), lambda i, co, ci: (0, ci),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((kpl, tc, tco), lambda i, co, ci: (0, ci, co),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tco), lambda i, co, ci: (0, co),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, h, w, tco), lambda i, co, ci: (i, 0, 0, co),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, h, w, cout), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=b * (h * w * ckpl * 9 * 2 + 2 * h * w * ckpl * cout),
+            bytes_accessed=4 * b * (hp * wp * c * (cout // tco)
+                                    + h * w * cout)
+            + 4 * (9 * ckpl + ckpl * cout),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(xp, dw_split, dwb_split, pw_split, pwb)
+
+
 def _fits_vmem(x, dw_kernel, pw_kernel) -> bool:
     hp, wp, c = x.shape[1] + 2, x.shape[2] + 2, x.shape[3]
     ckpl = dw_kernel.shape[-1]
@@ -158,9 +280,16 @@ def _fits_vmem(x, dw_kernel, pw_kernel) -> bool:
 
 
 def _fused_dsconv_impl(x, dw_kernel, dw_bias, pw_kernel, pw_bias):
-    if not _fits_vmem(x, dw_kernel, pw_kernel):
-        return _reference_dsc(x, dw_kernel, dw_bias, pw_kernel, pw_bias)
     interpret = jax.default_backend() != "tpu"
+    if not _fits_vmem(x, dw_kernel, pw_kernel):
+        # channel-tiled kernel: spatial plane must still fit (one 2MB tile)
+        hp, wp = x.shape[1] + 2, x.shape[2] + 2
+        if 4 * hp * wp <= (2 << 20):
+            return _pallas_forward_tiled(
+                x, dw_kernel, dw_bias, pw_kernel, pw_bias,
+                interpret=interpret,
+            )
+        return _reference_dsc(x, dw_kernel, dw_bias, pw_kernel, pw_bias)
     return _pallas_forward(
         x, dw_kernel, dw_bias, pw_kernel, pw_bias, interpret=interpret
     )
