@@ -90,7 +90,11 @@ class CoastalSeaLoader(_FileStream):
         self.file_length = self.remainder.shape[0] * self.remainder.shape[1]
 
     def _segmentify(self, data: np.ndarray) -> np.ndarray:
-        data = truncate_to_multiple(data, 2 * self.seq_len)
+        # NOTE: the reference's truncation slice (data_loader.py:45,
+        # `data[: (len//2*seq_len) * 2*seq_len]`) is an operator-precedence
+        # no-op — the bound always exceeds len — so the effective behavior
+        # is NO truncation: every stride-1 window of the full file is used.
+        # We reproduce the effective behavior.
         if self.crop is not None:
             data = data[:, :, : self.crop, : self.crop]
         return sliding_windows(data, 2 * self.seq_len)
@@ -208,7 +212,9 @@ class KmniLoader(_FileStream):
             self._video: np.ndarray | None = None
             self._starts = np.empty((0,), np.int64)
             self._advance_file()
-            self.file_length = len(self._starts) * 2 * time_steps
+            # parity with the python path / reference
+            # (kmni_data_loader.py:48: remainder.shape[0] * shape[1] = 2*n)
+            self.file_length = 2 * len(self._starts)
         else:
             self.remainder = self._segmentify(self.read_next_file())
             self.file_length = (
@@ -333,12 +339,18 @@ class AraiLoader:
                 data = data[
                     :, :, :, : self.downsample_size[0], : self.downsample_size[1]
                 ]
+                # NOTE: like the reference (arai_data_loader.py:159-176 —
+                # its cross-file accumulator is commented out), batches do
+                # not span file boundaries.
                 windows = sliding_windows(data, 2 * self.time_steps)
                 for i in range(0, len(windows), self.batch_size):
                     chunk = windows[i : i + self.batch_size]
                     x = chunk[:, : self.time_steps]
                     y = chunk[:, self.time_steps :]
                     self._queue.put((x, y))
+        except BaseException as e:  # surface loader errors to the consumer
+            self._queue.put(e)
+            return
         finally:
             self._queue.put(None)
 
@@ -352,6 +364,8 @@ class AraiLoader:
         item = self._queue.get()
         if item is None:
             raise StopIteration
+        if isinstance(item, BaseException):
+            raise item
         x, y = item
         return self._fix_sizes(x), self._fix_sizes(y)
 

@@ -30,27 +30,8 @@ from .losses import bce
 from .state import NetState
 
 
-def _apply_train(model, state: NetState, *args, rngs=None, **kwargs):
-    """Run a module in train mode, threading mutable batch stats."""
-    variables = {"params": state.params}
-    has_bs = bool(state.batch_stats)
-    if has_bs:
-        variables["batch_stats"] = state.batch_stats
-    out = model.apply(
-        variables,
-        *args,
-        train=True,
-        mutable=["batch_stats"] if has_bs else False,
-        rngs=rngs,
-        **kwargs,
-    )
-    if has_bs:
-        y, mut = out
-        return y, mut["batch_stats"]
-    return out, state.batch_stats
-
-
 def _apply_train_with_params(model, params, batch_stats, *args, rngs=None, **kwargs):
+    """Run a module in train mode, threading mutable batch stats."""
     variables = {"params": params}
     has_bs = bool(batch_stats)
     if has_bs:

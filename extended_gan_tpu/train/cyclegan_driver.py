@@ -27,7 +27,7 @@ from .cyclegan_trainer import (
     make_cyclegan_eval_step,
     make_cyclegan_train_step,
 )
-from .dcgan_trainer import to_nhwc
+from .dcgan_trainer import _feed, to_nhwc
 from .optim import adam
 from .state import create_net_state
 
@@ -65,16 +65,6 @@ def build_cyclegan(
     return models, txs, states, step, eval_step, keys
 
 
-def _feed(loader, mesh, batch_size):
-    padded = mesh.padded_batch_size(batch_size)
-
-    def prepare(item):
-        x, y = item
-        x, y = to_nhwc(x), to_nhwc(y)
-        x, y, mask = mesh.pad_to_batch_multiple(x, y, batch_size=padded)
-        return mesh.put_batch(x, y, mask)
-
-    return Prefetcher(iter(loader), depth=2, transfer=prepare)
 
 
 def train(

@@ -189,12 +189,20 @@ def train(
         )
         if resume and ckpt_mgr.latest_step() is not None:
             restored = ckpt_mgr.restore(
-                {"state": state, "epoch": 0, "lr": learning_rate}
+                {"state": state, "epoch": 0, "lr": learning_rate,
+                 "best": float("inf")}
             )
             state = mesh.put_replicated(restored["state"])
             start_epoch = int(restored["epoch"]) + 1
-            scheduler.lr = float(restored["lr"]) if hasattr(
-                scheduler, "lr") else scheduler.base_lr
+            # restore the schedule, not just the value: StepLR derives the
+            # LR from its epoch counter; plateau carries lr + best metric
+            if isinstance(scheduler, ReduceLROnPlateau):
+                scheduler.lr = float(restored["lr"])
+                best = float(restored.get("best", float("inf")))
+                scheduler.best = None if best == float("inf") else best
+            else:
+                scheduler.epoch = start_epoch - 1
+            set_learning_rate(state.opt_state, scheduler.current())
             hist_path = os.path.join(output_path, "history.json")
             if os.path.exists(hist_path):
                 with open(hist_path) as f:
@@ -233,10 +241,12 @@ def train(
             not checkpoint_every or epoch % checkpoint_every == 0
             or epoch == epochs
         ):
+            best = getattr(scheduler, "best", None)
             ckpt_mgr.save(
                 epoch,
                 {"state": state, "epoch": epoch,
-                 "lr": float(scheduler.current())},
+                 "lr": float(scheduler.current()),
+                 "best": float("inf") if best is None else float(best)},
             )
     if ckpt_mgr is not None:
         ckpt_mgr.close()

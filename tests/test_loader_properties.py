@@ -52,10 +52,11 @@ def test_coastal_windows_per_file(tmp_path):
     d.mkdir(parents=True)
     rng = np.random.RandomState(1)
     save_array(str(d / "a.pt"), rng.rand(19, 1, 8, 8).astype(np.float32))
-    # trunc to multiple of 8 = 16 -> 16 - 8 + 1 = 9 windows
+    # the reference's truncation is a precedence no-op (data_loader.py:45),
+    # so all 19 - 8 + 1 = 12 stride-1 windows are used
     loader = CoastalSeaLoader(str(d), 4, crop=None, shuffle=False)
     total = sum(len(x) for x, _ in loader)
-    assert total == 9
+    assert total == 12
 
 
 def test_h5_xy_never_overlap(tmp_path):

@@ -37,3 +37,23 @@ def test_gat_checkpoint_and_resume(kmni_dir, tmp_path):
     # first epoch's numbers survived the restart
     assert history["val_loss"][0] == h1["val_loss"][0]
     assert os.path.isdir(os.path.join(out, "checkpoints"))
+
+
+def test_resume_restores_step_lr_schedule(kmni_dir, tmp_path):
+    """StepLR must continue decaying from the checkpointed epoch, not snap
+    back to base_lr (gamma=0.5 makes drift obvious)."""
+    from extended_gan_tpu.train.gat_driver import train
+    from extended_gan_tpu.train.optim import get_learning_rate
+
+    out = str(tmp_path / "exp_lr")
+    common = dict(
+        model_type="temporal", optimizer="adam", mapping_type="linear",
+        output_path=out, train_batch_size=4, test_batch_size=4,
+        learning_rate=1e-2, lr_step=1, gamma=0.5,
+        downsample_size=(12, 12), preprocessed_folder=kmni_dir,
+        dataset="kmni", max_batches=2, checkpoint_every=1,
+    )
+    train(epochs=2, **common)          # LR after 2 epochs: 1e-2 * 0.25
+    state, _ = train(epochs=3, resume=True, **common)
+    # after epoch 3 the schedule must be base * 0.5^3
+    assert abs(get_learning_rate(state.opt_state) - 1e-2 * 0.125) < 1e-9
