@@ -50,10 +50,20 @@ class DepthwiseSeparableConv(nn.Module):
         )
         pwb = self.param("pointwise_bias", nn.initializers.zeros,
                          (self.nout,))
-        if self.use_pallas and k == 3:
-            from ..ops.pallas.dsconv import fused_dsconv
+        if k == 3:
+            if self.use_pallas:
+                from ..ops.pallas.dsconv import fused_dsconv
 
-            return fused_dsconv(
+                return fused_dsconv(
+                    x, dw[:, :, 0, :], dwb, pw[0, 0], pwb
+                ).astype(self.dtype)
+            # shift-add depthwise + einsum pointwise: XLA fuses this into
+            # the same program shape as the Pallas kernel and it measures
+            # ~4x faster than lax grouped-conv lowering at wide channels
+            # (BENCH_NOTES.md)
+            from ..ops.pallas.dsconv import shift_add_dsc
+
+            return shift_add_dsc(
                 x, dw[:, :, 0, :], dwb, pw[0, 0], pwb
             ).astype(self.dtype)
         dn = ("NHWC", "HWIO", "NHWC")
