@@ -14,8 +14,18 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
+# torch BCELoss clamps the LOG at -100; differentiating
+# jnp.maximum(jnp.log(0), -100) yields 0 * inf = NaN the moment a saturated
+# discriminator's sigmoid underflows to exactly 0 (bf16 training reaches
+# this within an epoch). The where-form below keeps torch's value (-100 at
+# p=0; exact log for any normal float) with a finite, branch-selected
+# gradient. XLA flushes f32 subnormals, so the cutoff is the min normal.
+_MIN_NORMAL = 1.1754944e-38
+
+
 def _clamped_log(x):
-    return jnp.maximum(jnp.log(x), -100.0)
+    safe = jnp.maximum(x, _MIN_NORMAL)
+    return jnp.where(x < _MIN_NORMAL, -100.0, jnp.log(safe))
 
 
 def bce(p, target, *, mask=None):
