@@ -7,6 +7,7 @@ from .metrics import (
     accuracy_criterion,
     rounded_match_nd,
     denormalize,
+    nowcast_scores,
 )
 from .history import (
     TrainingHistory,
@@ -33,6 +34,7 @@ __all__ = [
     "accuracy_criterion",
     "rounded_match_nd",
     "denormalize",
+    "nowcast_scores",
     "TrainingHistory",
     "update_history",
     "plot_history",

@@ -234,6 +234,40 @@ def get_metrics(y, y_hat, threshold):
     return out[0], out[1], out[2]
 
 
+def nowcast_scores(y, y_hat, threshold, *, mask=None):
+    """Weather-nowcasting skill scores on thresholded rain masks.
+
+    The reference carries these only as a commented-out block
+    (convolutional_gat/utils.py:273-305: F1, CSI, FAR); here they are live:
+
+    - f1:  2 * precision * recall / (precision + recall)
+    - csi: critical success index TP / (TP + FN + FP)
+    - far: false alarm ratio FP / (TP + FP)
+
+    Returns {"f1", "csi", "far"} scalars (NaN when undefined, as the
+    reference's formulas would produce).
+    """
+    yb = (y >= threshold).astype(jnp.float32)
+    pb = (y_hat >= threshold).astype(jnp.float32)
+    if mask is not None:
+        m = jnp.broadcast_to(
+            mask.reshape((-1,) + (1,) * (y.ndim - 1)).astype(jnp.float32),
+            y.shape,
+        )
+    else:
+        m = jnp.ones_like(yb)
+    tp = jnp.sum((pb == 1) * (yb == 1) * m)
+    fp = jnp.sum((pb == 1) * (yb == 0) * m)
+    fn = jnp.sum((pb == 0) * (yb == 1) * m)
+    precision = tp / (tp + fp)
+    recall = tp / (tp + fn)
+    return {
+        "f1": 2 * precision * recall / (precision + recall),
+        "csi": tp / (tp + fn + fp),
+        "far": fp / (tp + fp),
+    }
+
+
 def rounded_match_nd(a, b):
     """dcgan/utils.py:71-74 ``accuracy_criterion``: fraction of label
     predictions that round to the target. Returns [num, denom]."""
