@@ -194,7 +194,18 @@ class KmniLoader(_FileStream):
         power: float = 1.0,
         seed: int = 369,
         use_native: bool = True,
+        shuffle_mode: str = "batch",
     ):
+        """shuffle_mode:
+
+        - "batch" (reference semantics, kmni_data_loader.py:116-118):
+          batches are consecutive windows of one file, shuffled only
+          WITHIN the batch — nearly sequential data order.
+        - "global": a seeded permutation over every (file, window) pair in
+          the epoch; batches mix windows across files (an LRU of decoded
+          videos bounds memory). Better SGD mixing; opt-in because it
+          changes epoch statistics vs the reference.
+        """
         super().__init__(folder, shuffle=shuffle, seed=seed)
         self.batch_size = batch_size
         self.time_steps = time_steps
@@ -204,6 +215,16 @@ class KmniLoader(_FileStream):
         self.normalizing_max = 254.0
         self.device = device
         self.data_folder = folder
+        self.shuffle_mode = shuffle_mode
+        if shuffle_mode == "global":
+            if merge_nodes:
+                raise ValueError("global shuffle + merge_nodes unsupported")
+            self._init_global()
+            self.use_native = True
+            self.file_length = 2 * len(self._order)
+            return
+        if shuffle_mode != "batch":
+            raise ValueError(f"unknown shuffle_mode {shuffle_mode!r}")
         # Native fast path (no mosaic support): raw video + window starts;
         # batches are materialized by the C++ core (data/native.py) with
         # gather/normalize/layout fused. Falls back transparently.
@@ -227,6 +248,50 @@ class KmniLoader(_FileStream):
         self._video = np.ascontiguousarray(data, np.float32)
         n_windows = max(len(self._video) - w + 1, 0)
         self._starts = np.arange(n_windows, dtype=np.int64)
+
+    # ----------------------------------------------------- global shuffle
+    def _init_global(self):
+        w = 2 * self.time_steps
+        pairs = []
+        for fi, path in enumerate(self.files):
+            video = truncate_to_multiple(np.asarray(load_array(path)), w)
+            n = max(len(video) - w + 1, 0)
+            pairs.extend((fi, s) for s in range(n))
+        order = np.asarray(pairs, np.int64).reshape(-1, 2)
+        if self.shuffle:
+            order = order[self._rng.permutation(len(order))]
+        self._order = order
+        self._cursor = 0
+        self._video_cache: dict = {}
+
+    def _load_video(self, fi: int) -> np.ndarray:
+        if fi not in self._video_cache:
+            if len(self._video_cache) >= 2:  # tiny LRU
+                self._video_cache.pop(next(iter(self._video_cache)))
+            data = truncate_to_multiple(
+                np.asarray(load_array(self.files[fi])), 2 * self.time_steps
+            )
+            self._video_cache[fi] = np.ascontiguousarray(data, np.float32)
+        return self._video_cache[fi]
+
+    def _next_global(self):
+        from .native import kmni_make_batch
+
+        if self._cursor >= len(self._order):
+            raise StopIteration
+        batch = self._order[self._cursor : self._cursor + self.batch_size]
+        self._cursor += len(batch)
+        xs, ys = [], []
+        for fi in np.unique(batch[:, 0]):
+            starts = batch[batch[:, 0] == fi, 1]
+            x, y = kmni_make_batch(
+                self._load_video(int(fi)), starts, steps=self.time_steps,
+                crop=self.crop, max_value=self.normalizing_max,
+                power=self.power,
+            )
+            xs.append(x)
+            ys.append(y)
+        return np.concatenate(xs), np.concatenate(ys)
 
     def _segmentify(self, data: np.ndarray) -> np.ndarray:
         w = 2 * self.time_steps
@@ -256,6 +321,8 @@ class KmniLoader(_FileStream):
         return split
 
     def __next__(self):
+        if self.shuffle_mode == "global":
+            return self._next_global()
         if self.use_native:
             return self._next_native()
         if self.remainder.shape[1] == 0:
@@ -472,12 +539,14 @@ def get_kmni_loaders(
     shuffle: bool = True,
     merge_nodes: bool = False,
     seed: int = 369,
+    shuffle_mode: str = "batch",
 ):
     """== kmni_data_loader.py:133-167 (note: val loader IS the test split,
     reproduced faithfully)."""
     mk = lambda bs, sub, s: KmniLoader(
         bs, os.path.join(data_folder, sub), device,
         crop=crop, shuffle=shuffle, merge_nodes=merge_nodes, seed=s,
+        shuffle_mode=shuffle_mode,
     )
     return (
         mk(train_batch_size, "train", seed),
@@ -521,10 +590,11 @@ def get_loaders(
     merge_nodes: bool = False,
     shuffle: bool = True,
     seed: int = 369,
+    shuffle_mode: str = "batch",
 ):
     """Dataset dispatcher == convolutional_gat/data_loaders/get_loaders.py:7-35,
     extended with the "synthetic" dataset (generated on the fly, for
-    zero-egress demos/benches/tests)."""
+    zero-egress demos/benches/tests) and the "global" shuffle_mode."""
     if dataset == "arai":
         return get_arai_loaders(
             train_batch_size, test_batch_size, preprocessed_folder, device,
@@ -534,7 +604,7 @@ def get_loaders(
         return get_kmni_loaders(
             train_batch_size, test_batch_size, preprocessed_folder, device,
             crop=downsample_size[0], merge_nodes=merge_nodes, shuffle=shuffle,
-            seed=seed,
+            seed=seed, shuffle_mode=shuffle_mode,
         )
     if dataset == "synthetic":
         from .synthetic import ensure_synthetic_kmni
@@ -543,6 +613,6 @@ def get_loaders(
         return get_kmni_loaders(
             train_batch_size, test_batch_size, folder, device,
             crop=downsample_size[0], merge_nodes=merge_nodes, shuffle=shuffle,
-            seed=seed,
+            seed=seed, shuffle_mode=shuffle_mode,
         )
     raise ValueError(f"unknown dataset {dataset!r}")
