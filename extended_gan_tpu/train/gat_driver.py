@@ -119,6 +119,7 @@ def train(
     resume: bool = False,
     checkpoint_every: int = 0,
     remat: bool = False,
+    shuffle_mode: str = "batch",
     **_ignored,
 ):
     """== convolutional_gat/train.py:158-265 (same kwargs, same flow)."""
@@ -142,6 +143,7 @@ def train(
             train_bs, test_bs, preprocessed_folder, None,
             dataset=dataset, downsample_size=downsample_size,
             merge_nodes=False, shuffle=shuffle, seed=seed,
+            shuffle_mode=shuffle_mode,
         )
 
     # probe a val batch for (H, W, T, V) — reference :191-197

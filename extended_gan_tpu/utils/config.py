@@ -50,6 +50,7 @@ class ExperimentConfig:
     resume: bool = False  # restore full train state from checkpoints/
     checkpoint_every: int = 0  # Orbax full-state snapshot cadence (epochs)
     remat: bool = False  # rematerialize forward in backward (saves HBM)
+    shuffle_mode: str = "batch"  # "batch" (reference) | "global" mixing
 
     def to_dict(self) -> dict[str, Any]:
         return dataclasses.asdict(self)

@@ -66,7 +66,8 @@ def save_image_grid(imgs: np.ndarray, path: str, nrow: int = 5):
     for i, ax in enumerate(np.ravel(axes)):
         ax.axis("off")
         if i < n:
-            ax.imshow(imgs[i, 0], cmap="gray", vmin=0, vmax=1)
+            ax.imshow(imgs[i, 0], cmap="gray", vmin=0, vmax=1,
+                      aspect="equal")
     fig.tight_layout(pad=0.1)
     fig.savefig(path)
     plt.close(fig)
