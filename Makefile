@@ -1,0 +1,27 @@
+# Common entry points (see README.md for the full quickstart)
+
+.PHONY: test bench bench-all demo-dcgan demo-cyclegan demo-gat dryrun native
+
+test:
+	python -m pytest tests/ -q
+
+bench:
+	python bench.py
+
+bench-all:
+	python scripts/bench_all.py
+
+demo-dcgan:
+	python -m dcgan --epochs 1 --max-batches 10 --synthetic
+
+demo-cyclegan:
+	python -m cycle_gan --epochs 1 --max-batches 10 --synthetic
+
+demo-gat:
+	python -m convolutional_gat generate_experiment --exp_folder_name synthetic_smoke
+
+dryrun:
+	python -c "import __graft_entry__ as g; g.dryrun_multichip(8)"
+
+native:
+	python -c "from extended_gan_tpu.data import native; assert native.available(); print('native core OK')"
