@@ -6,8 +6,9 @@ here, so we pin our own: a fully-deterministic 2-epoch conv-GAT run on
 seeded synthetic data. If training numerics drift (loss math, loader
 semantics, optimizer, init), this breaks loudly.
 
-Golden values recorded on the 8-virtual-device CPU mesh. Tolerance is 2%
-relative: XLA version / fast-math variation, not logic changes, fit inside.
+Golden values recorded on the 8-virtual-device CPU mesh. Tolerance is 1%
+relative — the BASELINE.md parity budget; XLA version / fast-math variation
+fits well inside it (observed run-to-run drift is <0.01%).
 """
 
 import numpy as np
@@ -16,9 +17,10 @@ import pytest
 from extended_gan_tpu.data.synthetic import make_kmni_dataset
 
 GOLDEN = {
-    # recorded 2026-08-16, jax 0.9.0 CPU. values after epochs 1, 2.
-    "val_loss": [0.12026, 0.11356],
-    "train_loss": [0.13351, 0.12951],
+    # recorded 2026-08-16 (round 2: 3x3/1x1/3x3 conv-bottleneck mapping,
+    # 43,936-param footprint), jax 0.9.0 CPU. values after epochs 1, 2.
+    "val_loss": [0.12302, 0.12186],
+    "train_loss": [0.13459, 0.13343],
 }
 
 
@@ -46,4 +48,4 @@ def test_golden_conv_gat_training_curve(kmni_dir):
         observed = history[key]
         assert len(observed) == len(golden)
         for o, g in zip(observed, golden):
-            assert abs(o - g) / abs(g) < 0.02, (key, observed, golden)
+            assert abs(o - g) / abs(g) < 0.01, (key, observed, golden)
