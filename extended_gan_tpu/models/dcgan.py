@@ -26,6 +26,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from ..ops.initializers import conv_fan_in, torch_bias_init, torch_kernel_init
+from ..ops.norm import TorchBatchNorm
 
 
 def leaky_relu_02(x):
@@ -80,11 +81,13 @@ class ConvBlock(nn.Module):
             dtype=self.dtype,
         )(x.astype(self.dtype))
         if self.batchnorm:
-            x = nn.BatchNorm(
+            # name kept as the flax auto-name so checkpoints/trees are stable
+            x = TorchBatchNorm(
                 use_running_average=not train,
                 momentum=0.9,
                 epsilon=1e-5,
                 dtype=jnp.float32,
+                name="BatchNorm_0",
             )(x)
         if self.dropout > 0:
             x = nn.Dropout(
@@ -96,9 +99,15 @@ class ConvBlock(nn.Module):
 
 
 class Generator(nn.Module):
-    """4 context frames (as channels) -> 4 predicted frames in [0, 1]."""
+    """4 context frames (as channels) -> 4 predicted frames in [0, 1].
+
+    ``dropout`` threads to every ConvBlock (reference default 0.01); 0
+    disables it — used by the torch-parity e2e tests, where cross-framework
+    dropout RNGs cannot agree.
+    """
 
     nc: int = 4
+    dropout: float = 0.01
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -107,7 +116,8 @@ class Generator(nn.Module):
         widths = (nc * 8, nc * 4, nc * 2, nc)
         for w in widths:
             x = ConvBlock(
-                w, kernel_size=4, padding="SAME", act="relu", dtype=self.dtype
+                w, kernel_size=4, padding="SAME", act="relu",
+                dropout=self.dropout, dtype=self.dtype,
             )(x, train=train)
         x = ConvBlock(
             nc,
@@ -115,6 +125,7 @@ class Generator(nn.Module):
             padding="SAME",
             act="sigmoid",
             batchnorm=False,
+            dropout=self.dropout,
             dtype=self.dtype,
         )(x, train=train)
         return x.astype(jnp.float32)
@@ -126,6 +137,7 @@ class TemporalDiscriminator(nn.Module):
 
     nc: int = 4
     ndf: int = 64
+    dropout: float = 0.01
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -133,16 +145,16 @@ class TemporalDiscriminator(nn.Module):
         ndf = self.ndf
         x = ConvBlock(
             ndf, 4, stride=2, padding=1, use_bias=False, batchnorm=False,
-            act="leaky_relu", dtype=self.dtype,
+            act="leaky_relu", dropout=self.dropout, dtype=self.dtype,
         )(xy, train=train)
         for w in (2 * ndf, 4 * ndf, 8 * ndf):
             x = ConvBlock(
                 w, 4, stride=2, padding=1, use_bias=False,
-                act="leaky_relu", dtype=self.dtype,
+                act="leaky_relu", dropout=self.dropout, dtype=self.dtype,
             )(x, train=train)
         x = ConvBlock(
             1, 4, stride=4, padding=0, use_bias=False, batchnorm=False,
-            act="sigmoid", dtype=self.dtype,
+            act="sigmoid", dropout=self.dropout, dtype=self.dtype,
         )(x, train=train)
         return x.astype(jnp.float32).squeeze()
 
@@ -168,9 +180,10 @@ class FrameDiscriminator(nn.Module):
     @nn.compact
     def __call__(self, y, *, train: bool = True):
         ndf = self.ndf
-        bn = lambda x: nn.BatchNorm(
+        counter = iter(range(3))
+        bn = lambda x: TorchBatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
-            dtype=jnp.float32,
+            dtype=jnp.float32, name=f"BatchNorm_{next(counter)}",
         )(x)
         x = y.astype(self.dtype)
         x = leaky_relu_02(self._conv(ndf, 4, 2, 1, x))

@@ -22,6 +22,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from ..ops.norm import TorchBatchNorm
+
 
 class DepthwiseSeparableConv(nn.Module):
     """Depthwise kxk (grouped) + pointwise 1x1, shared params across two
@@ -94,7 +96,7 @@ class DoubleConvDS(nn.Module):
                 ch, self.kernels_per_layer, use_pallas=self.use_pallas,
                 dtype=self.dtype, name=f"dsc{i}",
             )(x)
-            x = nn.BatchNorm(
+            x = TorchBatchNorm(
                 use_running_average=not train, momentum=0.9, epsilon=1e-5,
                 dtype=jnp.float32, name=f"bn{i}",
             )(x)
@@ -139,7 +141,7 @@ class SpatialAttention(nn.Module):
             1, kernel_size=(7, 7), padding=((3, 3), (3, 3)), use_bias=False,
             dtype=self.dtype, name="conv",
         )(pooled)
-        s = nn.BatchNorm(
+        s = TorchBatchNorm(
             use_running_average=not train, momentum=0.99, epsilon=1e-5,
             dtype=jnp.float32, name="bn",
         )(s)

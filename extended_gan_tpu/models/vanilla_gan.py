@@ -20,6 +20,8 @@ from typing import Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
+from ..ops.norm import TorchBatchNorm
+
 
 class MLPGenerator(nn.Module):
     img_shape: Sequence[int] = (1, 28, 28)
@@ -34,11 +36,12 @@ class MLPGenerator(nn.Module):
         for i, width in enumerate(self.widths):
             x = nn.Dense(width, dtype=self.dtype)(x)
             if i > 0:  # first block is not normalized (reference :69)
-                x = nn.BatchNorm(
+                x = TorchBatchNorm(
                     use_running_average=not train,
                     momentum=0.9,  # == torch momentum 0.1
                     epsilon=self.bn_eps,
                     dtype=jnp.float32,
+                    name=f"BatchNorm_{i - 1}",
                 )(x)
             x = nn.leaky_relu(x, negative_slope=0.2)
         out_dim = 1

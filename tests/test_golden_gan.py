@@ -3,13 +3,14 @@
 import numpy as np
 import pytest
 
-GOLDEN_DCGAN = {  # recorded 2026-08-16, jax 0.9.0 CPU; 1 epoch, 4 batches
+GOLDEN_DCGAN = {  # recorded 2026-08-16 (round 2: torch-exact BN running
+    # stats), jax 0.9.0 CPU; 1 epoch, 4 batches
     "train_mse": 0.13356,
-    "pred_mse": 0.12735,
+    "pred_mse": 0.12733,
 }
 GOLDEN_CYCLEGAN = {  # same setup
     "pred_mse": 0.12243,
-    "cycle_l1": 0.30972,
+    "cycle_l1": 0.30973,
 }
 
 
@@ -25,7 +26,7 @@ def test_golden_dcgan_curve(tmp_path):
     print("observed dcgan:", {k: round(h[k][-1], 5)
                               for k in ("train_mse", "pred_mse")})
     for k, g in GOLDEN_DCGAN.items():
-        assert abs(h[k][-1] - g) / g < 0.02, (k, h[k][-1], g)
+        assert abs(h[k][-1] - g) / g < 0.01, (k, h[k][-1], g)
 
 
 def test_golden_cyclegan_curve(tmp_path):
@@ -39,4 +40,4 @@ def test_golden_cyclegan_curve(tmp_path):
     print("observed cyclegan:", {k: round(h[k][-1], 5)
                                  for k in ("pred_mse", "cycle_l1")})
     for k, g in GOLDEN_CYCLEGAN.items():
-        assert abs(h[k][-1] - g) / g < 0.02, (k, h[k][-1], g)
+        assert abs(h[k][-1] - g) / g < 0.01, (k, h[k][-1], g)

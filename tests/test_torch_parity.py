@@ -63,16 +63,22 @@ def test_strided_conv_explicit_padding_matches_torch():
 
 
 def test_batchnorm_train_mode_matches_torch():
-    import flax.linen as nn
+    """Our TorchBatchNorm matches torch BN bit-for-bit in BOTH the
+    normalized output and the running statistics — including the UNBIASED
+    running-variance update flax.linen.BatchNorm gets wrong (it stores the
+    biased batch variance; torch applies the n/(n-1) Bessel factor)."""
+    from extended_gan_tpu.ops.norm import TorchBatchNorm
 
     rng = np.random.RandomState(2)
+    # small batch so the Bessel factor is visibly large (n = 8*10*10)
     x = rng.randn(8, 6, 10, 10).astype(np.float32)
 
     tbn = torch.nn.BatchNorm2d(6, eps=1e-5, momentum=0.1)
     tbn.train()
     t_out = tbn(torch.from_numpy(x)).detach().numpy()
 
-    bn = nn.BatchNorm(use_running_average=False, momentum=0.9, epsilon=1e-5)
+    bn = TorchBatchNorm(use_running_average=False, momentum=0.9,
+                        epsilon=1e-5)
     variables = bn.init(jax.random.PRNGKey(0),
                         jnp.asarray(x.transpose(0, 2, 3, 1)))
     j_out, mutated = bn.apply(
@@ -85,7 +91,12 @@ def test_batchnorm_train_mode_matches_torch():
     np.testing.assert_allclose(
         np.asarray(mutated["batch_stats"]["mean"]),
         tbn.running_mean.numpy(),
-        rtol=2e-3, atol=2e-4,
+        rtol=1e-5, atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(mutated["batch_stats"]["var"]),
+        tbn.running_var.numpy(),
+        rtol=1e-5, atol=1e-6,
     )
 
 
