@@ -1,0 +1,623 @@
+"""END-TO-END training parity vs torch-on-CPU (BASELINE.md: "per-epoch MSE
+within 1% of the PyTorch reference").
+
+Each test builds a torch twin of the model, initializes it from the SAME
+weights as the JAX side, feeds the SAME deterministic synthetic batches
+through a torch re-implementation of the reference's training algorithm,
+and asserts:
+
+- per-step training losses match for every step (first-20-step tolerance),
+- per-epoch train/val metrics match within the 1% budget over 3 epochs.
+
+conv-GAT: the torch loop implements /root/reference/convolutional_gat/
+train.py:94-155 exactly — Adam(lr, weight_decay=0.01) (:212), loss
+MSE - 0.0005*mean(y_hat) (:131), running_loss accumulation (:133-141),
+ReduceLROnPlateau(patience=0, factor=0.5) stepped on val_loss (:218-220,
+:145), and the eval pass of :28-91 (power denormalization, median-of-unique
+threshold :60-61, quirky acc/prec/rec scaling from utils.py:135-167,
+denormalized MSE). The model twin mirrors our GAT3D reconstruction (the
+reference's GAT3D source is missing from its tree — SURVEY.md 2.6), so what
+this pins cross-framework is the full trainer+model numerics under torch's
+autograd/Adam/BN vs ours under XLA.
+
+DCGAN: the torch twin is the REFERENCE architecture verbatim-by-contract
+(/root/reference/dcgan/model.py:19-179) and the loop is
+/root/reference/dcgan/train.py:80-175 — the 6-stage update (D-real backward,
+G forward, D-fake backward on detached, FD/TD Adam steps, G step through the
+UPDATED discriminators reusing the original G forward graph, G Adam step)
+with Adam(2e-4, betas=(0.5, 0.999)) and BCELoss.
+
+Dropout is 0 on both sides: torch and JAX dropout RNGs cannot be made to
+agree, and the reference's p=0.01 channel dropout is orthogonal to the
+trainer math verified here. Everything else (BatchNorm train/eval stats with
+torch's unbiased running variance, Adam bias correction + L2, BCE clamping,
+loss/metric accumulation) runs exactly as in training.
+"""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+import torch.nn.functional as F  # noqa: E402
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from extended_gan_tpu.parallel import MeshContext  # noqa: E402
+
+pytestmark = pytest.mark.slow
+
+
+def t_(a):
+    return torch.from_numpy(np.asarray(a, np.float32).copy())
+
+
+def _load_conv(tconv, kernel, bias=None):
+    """flax HWIO kernel -> torch OIHW weight."""
+    with torch.no_grad():
+        tconv.weight.copy_(t_(np.transpose(np.asarray(kernel), (3, 2, 0, 1))))
+        if bias is not None:
+            tconv.bias.copy_(t_(bias))
+
+
+def _load_bn(tbn, p, bs=None):
+    with torch.no_grad():
+        tbn.weight.copy_(t_(p["scale"]))
+        tbn.bias.copy_(t_(p["bias"]))
+        if bs is not None:
+            tbn.running_mean.copy_(t_(bs["mean"]))
+            tbn.running_var.copy_(t_(bs["var"]))
+
+
+# ===========================================================================
+# conv-GAT (temporal / conv mapping)
+# ===========================================================================
+class _TorchConvMapping(torch.nn.Module):
+    """Twin of gat3d._Mapping mapping_type='conv' (3x3 -> 1x1 -> 3x3)."""
+
+    def __init__(self, t_in, nhid, hidden=74):
+        super().__init__()
+        self.conv1 = torch.nn.Conv2d(t_in, hidden, 3, padding=1)
+        self.conv2 = torch.nn.Conv2d(hidden, hidden, 1)
+        self.conv3 = torch.nn.Conv2d(hidden, nhid, 3, padding=1)
+
+    def forward(self, x):  # x: (B, H, W, T, V)
+        b, h, w, tt, v = x.shape
+        xb = x.permute(0, 4, 3, 1, 2).reshape(b * v, tt, h, w)
+        y = F.relu(self.conv1(xb))
+        y = F.relu(self.conv2(y))
+        y = self.conv3(y)
+        o = y.shape[1]
+        return (
+            y.permute(0, 2, 3, 1).reshape(b, v, h, w, o).permute(0, 2, 3, 4, 1)
+        )
+
+
+class _TorchTemporalHead(torch.nn.Module):
+    """Twin of gat3d.GAT3DHead (type_='temporal')."""
+
+    def __init__(self, t_in, n_vertices, alpha=0.2):
+        super().__init__()
+        self.mapping = _TorchConvMapping(t_in, t_in)
+        self.a = torch.nn.Parameter(torch.zeros(2 * n_vertices, 1))
+        self.B = torch.nn.Parameter(torch.zeros(t_in, t_in))
+        self.alpha = alpha
+
+    def forward(self, x):
+        mapped = self.mapping(x)  # (B, H, W, T, V)
+        f = mapped.mean(dim=(1, 2))  # (B, T, V)
+        vdim = f.shape[-1]
+        a1, a2 = self.a[:vdim, 0], self.a[vdim:, 0]
+        s1, s2 = f @ a1, f @ a2  # (B, T)
+        e = F.leaky_relu(s1[:, :, None] + s2[:, None, :], self.alpha)
+        att = torch.softmax(e, dim=-1)
+        tdim = self.B.shape[0]
+        adj = self.B + torch.eye(tdim)
+        adj = (adj - adj.min()) / (adj.max() - adj.min())
+        inv = adj.sum(dim=1).rsqrt()
+        adj_n = adj * inv[:, None] * inv[None, :]
+        att = torch.einsum("uv,nvw->nuw", adj_n, att)
+        out = torch.einsum("bts,bhwsv->bhwtv", att, mapped)
+        return F.elu(out)
+
+
+class TorchGAT3D(torch.nn.Module):
+    def __init__(self, t_in, n_vertices):
+        super().__init__()
+        self.hidden = torch.nn.ModuleList(
+            [_TorchTemporalHead(t_in, n_vertices) for _ in range(3)]
+        )
+        self.output = torch.nn.ModuleList(
+            [_TorchTemporalHead(t_in, n_vertices)]
+        )
+
+    def forward(self, x):
+        x = sum(h(x) for h in self.hidden) / 3.0
+        x = self.output[0](x)
+        return torch.sigmoid(x)
+
+
+def _load_gat_from_flax(tm: TorchGAT3D, params):
+    for lname, heads in (("hidden_layer", tm.hidden),
+                         ("output_layer", tm.output)):
+        p = jax.device_get(params[lname]["heads"])
+        for i, head in enumerate(heads):
+            with torch.no_grad():
+                head.a.copy_(t_(p["a_temporal"][i]))
+                head.B.copy_(t_(p["B_temporal"][i]))
+            m = p["mapping"]
+            for cname, tconv in (("conv1", head.mapping.conv1),
+                                 ("conv2", head.mapping.conv2),
+                                 ("conv3", head.mapping.conv3)):
+                _load_conv(tconv, m[cname]["kernel"][i], m[cname]["bias"][i])
+
+
+class _ListLoader(list):
+    """Batch list with the loader attributes gat_trainer.test reads."""
+
+    power = 2.0
+    normalizing_max = 254.0
+
+
+def _gat_batches(rng, n, b, h, w, tt, v):
+    return [
+        (rng.uniform(0, 1, (b, h, w, tt, v)).astype(np.float32),
+         rng.uniform(0, 1, (b, h, w, tt, v)).astype(np.float32))
+        for _ in range(n)
+    ]
+
+
+def _run_torch_gat(model, train_batches, val_batches, epochs, lr,
+                   power, norm_max):
+    opt = torch.optim.Adam(model.parameters(), lr=lr, weight_decay=0.01)
+    sched = torch.optim.lr_scheduler.ReduceLROnPlateau(
+        opt, "min", patience=0, factor=0.5
+    )
+    crit = torch.nn.MSELoss()
+    step_losses = []
+    hist = {k: [] for k in
+            ("train_loss", "val_loss", "val_acc", "val_denorm_mse")}
+    for _ in range(epochs):
+        model.train()
+        running, total = torch.tensor(0.0), 0
+        for x, y in train_batches:
+            x, y = t_(x), t_(y)
+            opt.zero_grad()
+            y_hat = model(x)
+            loss = crit(y_hat, y) - 0.0005 * (
+                torch.sum(y_hat) / y_hat.numel()
+            )
+            loss.backward()
+            opt.step()
+            step_losses.append(float(loss))
+            total += len(x)
+            running += (
+                torch.sum((y_hat - y) ** 2)
+                / torch.prod(torch.tensor(y.shape[1:]))
+            ).detach()
+        hist["train_loss"].append(float(running) / total)
+
+        model.eval()
+        r_loss = r_acc = r_den = 0.0
+        tl = 0
+        with torch.no_grad():
+            for x, y in val_batches:
+                x, y = t_(x), t_(y)
+                y_hat = model(x)
+                y = torch.pow(y, 1.0 / power)
+                y_hat = torch.pow(y_hat, 1.0 / power)
+                per = torch.prod(torch.tensor(y.shape[1:]))
+                r_loss += float(torch.sum((y - y_hat) ** 2) / per)
+                unique = torch.unique(y)
+                thresh = unique[int(len(unique) * 0.5)]
+                tl += len(x)
+                yb, pb = (y >= thresh).float(), (y_hat >= thresh).float()
+                r_acc += float((yb == pb).sum() / y[0].numel())
+                r_den += float(
+                    torch.sum(((y - y_hat) * norm_max) ** 2) / per
+                )
+        hist["val_loss"].append(r_loss / tl)
+        hist["val_acc"].append(r_acc / tl)
+        hist["val_denorm_mse"].append(r_den / tl)
+        sched.step(hist["val_loss"][-1])
+    return step_losses, hist
+
+
+def _run_jax_gat(model, variables, train_batches, val_batches, epochs, lr):
+    from extended_gan_tpu.train.gat_trainer import (
+        _prep_gat_batch,
+        make_gat_eval_step,
+        make_gat_train_step,
+    )
+    from extended_gan_tpu.train.gat_trainer import test as gat_test
+    from extended_gan_tpu.train.optim import (
+        ReduceLROnPlateau,
+        adam,
+        set_learning_rate,
+    )
+    from extended_gan_tpu.train.state import NetState
+
+    tx = adam(lr, weight_decay=0.01)
+    state = NetState(
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=tx.init(variables["params"]),
+    )
+    mesh = MeshContext.create()
+    state = mesh.put_replicated(state)
+    step = make_gat_train_step(model, tx)
+    eval_step = make_gat_eval_step(model)
+    sched = ReduceLROnPlateau(lr, factor=0.5, patience=0)
+    rng = jax.random.PRNGKey(0)  # conv mapping has no dropout
+    step_losses = []
+    hist = {k: [] for k in
+            ("train_loss", "val_loss", "val_acc", "val_denorm_mse")}
+    for _ in range(epochs):
+        running, total = 0.0, 0
+        for x, y in train_batches:
+            xd, yd, mask = _prep_gat_batch(mesh, x, y)
+            state, logs = step(state, xd, yd, mask, rng)
+            step_losses.append(float(logs["loss"]))
+            running += float(logs["running_nd"][0])
+            total += len(x)
+        hist["train_loss"].append(running / total)
+        res = gat_test(eval_step, state, _ListLoader(val_batches), mesh)
+        hist["val_loss"].append(res["val_loss"])
+        hist["val_acc"].append(res["val_acc"])
+        hist["val_denorm_mse"].append(res["val_denorm_mse"])
+        set_learning_rate(state.opt_state, sched.step(res["val_loss"]))
+    return step_losses, hist
+
+
+def test_e2e_conv_gat_torch_parity():
+    from extended_gan_tpu.models.gat.gat3d import Model
+
+    B, H, W, T, V = 8, 16, 16, 4, 6
+    EPOCHS, LR = 3, 1e-3
+    rng = np.random.RandomState(7)
+    train_batches = _gat_batches(rng, 6, B, H, W, T, V)
+    val_batches = _gat_batches(rng, 3, B, H, W, T, V)
+
+    model = Model(image_width=H, image_height=W, n_vertices=V,
+                  attention_type="temporal", mapping_type="conv")
+    variables = jax.device_get(
+        model.init(jax.random.PRNGKey(11), jnp.zeros((2, H, W, T, V)))
+    )
+
+    tmodel = TorchGAT3D(T, V)
+    _load_gat_from_flax(tmodel, variables["params"])
+
+    # same-weights forward check before any training
+    x0 = train_batches[0][0]
+    j0 = np.asarray(model.apply(variables, jnp.asarray(x0), train=False))
+    t0 = tmodel(t_(x0)).detach().numpy()
+    np.testing.assert_allclose(j0, t0, rtol=2e-5, atol=2e-5)
+
+    t_steps, t_hist = _run_torch_gat(
+        tmodel, train_batches, val_batches, EPOCHS, LR,
+        _ListLoader.power, _ListLoader.normalizing_max,
+    )
+    j_steps, j_hist = _run_jax_gat(
+        model, variables, train_batches, val_batches, EPOCHS, LR
+    )
+
+    # per-step train losses: every one of the 18 steps
+    np.testing.assert_allclose(j_steps, t_steps, rtol=2e-3, atol=1e-5)
+    np.testing.assert_allclose(j_steps[:3], t_steps[:3], rtol=1e-4,
+                               atol=1e-6)
+    # per-epoch metrics within the 1% parity budget
+    for key in ("train_loss", "val_loss", "val_denorm_mse", "val_acc"):
+        for je, te in zip(j_hist[key], t_hist[key]):
+            assert abs(je - te) / max(abs(te), 1e-12) < 0.01, (
+                key, j_hist[key], t_hist[key]
+            )
+
+
+# ===========================================================================
+# DCGAN (reference architecture, 6-stage adversarial update)
+# ===========================================================================
+class _TConvBlock(torch.nn.Module):
+    """/root/reference/dcgan/model.py:19-52 with dropout=0."""
+
+    def __init__(self, chin, chout, k, *, bias=True, stride=1, padding=0,
+                 act="relu", batchnorm=True):
+        super().__init__()
+        self.conv = torch.nn.Conv2d(chin, chout, k, stride=stride,
+                                    padding=padding, bias=bias)
+        self.bn = torch.nn.BatchNorm2d(chout) if batchnorm else None
+        self.act = act
+
+    def forward(self, x):
+        x = self.conv(x)
+        if self.bn is not None:
+            x = self.bn(x)
+        if self.act == "relu":
+            return F.relu(x)
+        if self.act == "leaky":
+            return F.leaky_relu(x, 0.2)
+        return torch.sigmoid(x)
+
+
+class TorchGenerator(torch.nn.Module):
+    """/root/reference/dcgan/model.py:55-76."""
+
+    def __init__(self, nc):
+        super().__init__()
+        self.blocks = torch.nn.ModuleList([
+            _TConvBlock(nc, nc * 8, 4, padding="same"),
+            _TConvBlock(nc * 8, nc * 4, 4, padding="same"),
+            _TConvBlock(nc * 4, nc * 2, 4, padding="same"),
+            _TConvBlock(nc * 2, nc, 4, padding="same"),
+            _TConvBlock(nc, nc, 4, padding="same", act="sigmoid",
+                        batchnorm=False),
+        ])
+
+    def forward(self, x):
+        for b in self.blocks:
+            x = b(x)
+        return x
+
+
+class TorchTemporalDiscriminator(torch.nn.Module):
+    """/root/reference/dcgan/model.py:79-142."""
+
+    def __init__(self, nc, ndf):
+        super().__init__()
+        self.blocks = torch.nn.ModuleList([
+            _TConvBlock(2 * nc, ndf, 4, stride=2, padding=1, bias=False,
+                        batchnorm=False, act="leaky"),
+            _TConvBlock(ndf, 2 * ndf, 4, stride=2, padding=1, bias=False,
+                        act="leaky"),
+            _TConvBlock(2 * ndf, 4 * ndf, 4, stride=2, padding=1,
+                        bias=False, act="leaky"),
+            _TConvBlock(4 * ndf, 8 * ndf, 4, stride=2, padding=1,
+                        bias=False, act="leaky"),
+            _TConvBlock(8 * ndf, 1, 4, stride=4, padding=0, bias=False,
+                        batchnorm=False, act="sigmoid"),
+        ])
+
+    def forward(self, x):
+        for b in self.blocks:
+            x = b(x)
+        return x.squeeze()
+
+
+class TorchFrameDiscriminator(torch.nn.Module):
+    """/root/reference/dcgan/model.py:145-179."""
+
+    def __init__(self, nc, ndf):
+        super().__init__()
+        self.conv1 = torch.nn.Conv2d(nc, ndf, 4, 2, 1, bias=False)
+        self.conv2 = torch.nn.Conv2d(ndf, ndf * 2, 4, 2, 1, bias=False)
+        self.bn2 = torch.nn.BatchNorm2d(ndf * 2)
+        self.conv3 = torch.nn.Conv2d(ndf * 2, ndf * 4, 4, 2, 1, bias=False)
+        self.bn3 = torch.nn.BatchNorm2d(ndf * 4)
+        self.conv4 = torch.nn.Conv2d(ndf * 4, ndf * 8, 4, 2, 1, bias=False)
+        self.bn4 = torch.nn.BatchNorm2d(ndf * 8)
+        self.conv5 = torch.nn.Conv2d(ndf * 8, 1, 4, 1, 0, bias=False)
+
+    def forward(self, x):
+        x = F.leaky_relu(self.conv1(x), 0.2)
+        x = F.leaky_relu(self.bn2(self.conv2(x)), 0.2)
+        x = F.leaky_relu(self.bn3(self.conv3(x)), 0.2)
+        x = F.leaky_relu(self.bn4(self.conv4(x)), 0.2)
+        return torch.sigmoid(self.conv5(x)).squeeze()
+
+
+def _load_dcgan_from_flax(tg, tfd, ttd, states):
+    gp = jax.device_get(states.g.params)
+    gbs = jax.device_get(states.g.batch_stats)
+    for i, blk in enumerate(tg.blocks):
+        cb = gp[f"ConvBlock_{i}"]
+        _load_conv(blk.conv, cb["Conv_0"]["kernel"], cb["Conv_0"]["bias"])
+        if blk.bn is not None:
+            _load_bn(blk.bn, cb["BatchNorm_0"],
+                     gbs[f"ConvBlock_{i}"]["BatchNorm_0"])
+    tp = jax.device_get(states.td.params)
+    tbs = jax.device_get(states.td.batch_stats)
+    for i, blk in enumerate(ttd.blocks):
+        cb = tp[f"ConvBlock_{i}"]
+        _load_conv(blk.conv, cb["Conv_0"]["kernel"])
+        if blk.bn is not None:
+            _load_bn(blk.bn, cb["BatchNorm_0"],
+                     tbs[f"ConvBlock_{i}"]["BatchNorm_0"])
+    fp = jax.device_get(states.fd.params)
+    fbs = jax.device_get(states.fd.batch_stats)
+    for i, conv in enumerate(
+        (tfd.conv1, tfd.conv2, tfd.conv3, tfd.conv4, tfd.conv5)
+    ):
+        _load_conv(conv, fp[f"Conv_{i}"]["kernel"])
+    for j, bn in enumerate((tfd.bn2, tfd.bn3, tfd.bn4)):
+        _load_bn(bn, fp[f"BatchNorm_{j}"], fbs[f"BatchNorm_{j}"])
+
+
+def _run_torch_dcgan(tg, tfd, ttd, train_batches, val_batches, epochs, lr,
+                     beta1):
+    """Reference loop dcgan/train.py:80-175 + eval :26-77, NCHW."""
+    crit = torch.nn.BCELoss()
+    optG = torch.optim.Adam(tg.parameters(), lr=lr, betas=(beta1, 0.999))
+    optFD = torch.optim.Adam(tfd.parameters(), lr=lr, betas=(beta1, 0.999))
+    optTD = torch.optim.Adam(ttd.parameters(), lr=lr, betas=(beta1, 0.999))
+    step_losses = []
+    hist = {k: [] for k in ("train_mse", "pred_mse", "frame_disc_accuracy",
+                            "temp_disc_accuracy", "pred_accuracy")}
+    for _ in range(epochs):
+        tg.train(), tfd.train(), ttd.train()
+        mse_num = mse_den = 0.0
+        for x, y in train_batches:
+            x, y = t_(x), t_(y)
+            b = len(x)
+            real, fake_l = torch.ones(b), torch.zeros(b)
+            ttd.zero_grad(), tfd.zero_grad()
+            errFD_real = crit(tfd(y), real)
+            errTD_real = crit(ttd(torch.cat((x, y), dim=1)), real)
+            errFD_real.backward()
+            errTD_real.backward()
+            fake = tg(x)
+            mse_num += float(torch.sum((y - fake) ** 2))
+            mse_den += y.numel()
+            fd_ = fake.detach()
+            errFD_fake = crit(tfd(fd_), fake_l)
+            errTD_fake = crit(ttd(torch.cat((x, fd_), dim=1)), fake_l)
+            errFD_fake.backward()
+            errTD_fake.backward()
+            optFD.step()
+            optTD.step()
+            tg.zero_grad()
+            errG = crit(tfd(fake).view(-1), real) + crit(
+                ttd(torch.cat((x, fake), dim=1)).view(-1), real
+            )
+            errG.backward()
+            optG.step()
+            step_losses.append(
+                (float(errFD_real + errFD_fake),
+                 float(errTD_real + errTD_fake), float(errG))
+            )
+        hist["train_mse"].append(mse_num / mse_den)
+
+        # eval == dcgan/train.py:26-77 with MetricsManager semantics
+        tg.eval(), tfd.eval(), ttd.eval()
+        fd_nd = np.zeros(2)
+        td_nd = np.zeros(2)
+        acc_nd = np.zeros(2)
+        pm_nd = np.zeros(2)
+        with torch.no_grad():
+            for x, y in val_batches:
+                x, y = t_(x), t_(y)
+                fake = tg(x)
+
+                def _acc(p, label):
+                    # MetricsManager: binarize at 0.5 with `<` polarity,
+                    # denominator = y[0].numel() = 1 (dcgan/metrics.py:12-13)
+                    return np.array([
+                        float(((p < 0.5) == (label < 0.5)).sum()), 1.0
+                    ])
+
+                b = len(x)
+                real, fl = torch.ones(b), torch.zeros(b)
+                fd_nd += _acc(tfd(y), real) + _acc(tfd(fake), fl)
+                td_nd += _acc(ttd(torch.cat((x, y), 1)), real) + _acc(
+                    ttd(torch.cat((x, fake), 1)), fl
+                )
+                dy, dyh = y < 0.5, fake < 0.5
+                acc_nd += np.array([
+                    float((dy == dyh).sum()), float(y[0].numel())
+                ])
+                pm_nd += np.array([
+                    float(torch.sum((y - fake) ** 2)), float(y.numel())
+                ])
+        hist["pred_mse"].append(pm_nd[0] / pm_nd[1])
+        hist["pred_accuracy"].append(acc_nd[0] / acc_nd[1])
+        hist["frame_disc_accuracy"].append(fd_nd[0] / fd_nd[1])
+        hist["temp_disc_accuracy"].append(td_nd[0] / td_nd[1])
+    return step_losses, hist
+
+
+def test_e2e_dcgan_torch_parity():
+    from extended_gan_tpu.models.dcgan import (
+        FrameDiscriminator,
+        Generator,
+        TemporalDiscriminator,
+    )
+    from extended_gan_tpu.train.dcgan_trainer import (
+        GANStates,
+        make_dcgan_eval_step,
+        make_dcgan_train_step,
+        test as dcgan_test,
+        train_single_epoch,
+    )
+    from extended_gan_tpu.core import KeySeq
+    from extended_gan_tpu.train.optim import adam
+    from extended_gan_tpu.train.state import create_net_state
+
+    NC, NDF, IM, B = 4, 8, 64, 8
+    EPOCHS, LR, BETA1 = 3, 2e-4, 0.5
+    rng = np.random.RandomState(3)
+    # loader layout (B, T, H, W); trainers transpose to NHWC themselves
+    mk = lambda n: [
+        (rng.uniform(0, 1, (B, NC, IM, IM)).astype(np.float32),
+         rng.uniform(0, 1, (B, NC, IM, IM)).astype(np.float32))
+        for _ in range(n)
+    ]
+    train_batches, val_batches = mk(4), mk(2)
+
+    g_model = Generator(nc=NC, dropout=0.0)
+    fd_model = FrameDiscriminator(nc=NC, ndf=NDF)
+    td_model = TemporalDiscriminator(nc=NC, ndf=NDF, dropout=0.0)
+    g_tx, fd_tx, td_tx = (adam(LR, b1=BETA1) for _ in range(3))
+    keys = KeySeq(5)
+    sample = jnp.zeros((2, IM, IM, NC))
+    sample2 = jnp.zeros((2, IM, IM, 2 * NC))
+    states = GANStates(
+        g=create_net_state(g_model, g_tx, keys.next(), sample),
+        fd=create_net_state(fd_model, fd_tx, keys.next(), sample),
+        td=create_net_state(td_model, td_tx, keys.next(), sample2),
+    )
+
+    tg = TorchGenerator(NC)
+    tfd = TorchFrameDiscriminator(NC, NDF)
+    ttd = TorchTemporalDiscriminator(NC, NDF)
+    _load_dcgan_from_flax(tg, tfd, ttd, states)
+
+    # same-weights forward check (eval mode, NCHW vs NHWC)
+    tg.eval()
+    x0 = train_batches[0][0]  # (B, T, H, W)
+    x0_nhwc = np.moveaxis(x0, 1, -1)
+    j0 = np.asarray(g_model.apply(
+        {"params": jax.device_get(states.g.params),
+         "batch_stats": jax.device_get(states.g.batch_stats)},
+        jnp.asarray(x0_nhwc), train=False,
+    ))
+    t0 = tg(t_(x0)).detach().numpy()
+    np.testing.assert_allclose(
+        np.moveaxis(j0, -1, 1), t0, rtol=2e-4, atol=2e-4
+    )
+
+    t_steps, t_hist = _run_torch_dcgan(
+        tg, tfd, ttd, train_batches, val_batches, EPOCHS, LR, BETA1
+    )
+
+    mesh = MeshContext.create()
+    states = mesh.put_replicated(states)
+    step = make_dcgan_train_step(g_model, fd_model, td_model,
+                                 g_tx, fd_tx, td_tx)
+    eval_step = make_dcgan_eval_step(g_model, fd_model, td_model)
+    j_steps = []
+    j_hist = {k: [] for k in t_hist}
+
+    class _CaptureStep:
+        """Wrap the fused step to capture per-step losses."""
+
+        def __call__(self, states, x, y, mask, rng):
+            states, logs = step(states, x, y, mask, rng)
+            j_steps.append(
+                (float(logs["errFD"]), float(logs["errTD"]),
+                 float(logs["errG"]))
+            )
+            return states, logs
+
+    for _ in range(EPOCHS):
+        states, train_result = train_single_epoch(
+            dataloader=list(train_batches), states=states,
+            step=_CaptureStep(), mesh=mesh, batch_size=B,
+            rng_keys=keys, epoch=1, log_every=1000,
+        )
+        test_result = dcgan_test(
+            list(val_batches), states, eval_step, mesh, B, 1
+        )
+        j_hist["train_mse"].append(train_result["train_mse"])
+        for k in ("pred_mse", "pred_accuracy", "frame_disc_accuracy",
+                  "temp_disc_accuracy"):
+            j_hist[k].append(test_result[k])
+
+    # per-step adversarial losses, all 12 steps
+    np.testing.assert_allclose(np.array(j_steps), np.array(t_steps),
+                               rtol=5e-3, atol=1e-4)
+    np.testing.assert_allclose(np.array(j_steps[:2]),
+                               np.array(t_steps[:2]), rtol=1e-3, atol=1e-5)
+    # per-epoch metrics within the 1% budget
+    for key in t_hist:
+        for je, te in zip(j_hist[key], t_hist[key]):
+            assert abs(je - te) / max(abs(te), 1e-12) < 0.01, (
+                key, j_hist[key], t_hist[key]
+            )
