@@ -17,6 +17,10 @@ def main():
     parser.add_argument("--max-batches", type=int, default=0)
     parser.add_argument("--synthetic", action="store_true")
     parser.add_argument("--out-dir", type=str, default=None)
+    parser.add_argument("--save-epoch", type=int, default=0,
+                        help="checkpoint every N epochs")
+    parser.add_argument("--resume", action="store_true",
+                        help="continue from the latest checkpoint")
     args = parser.parse_args()
     train(
         data_location=args.data_location,
@@ -31,6 +35,8 @@ def main():
         max_batches=args.max_batches,
         synthetic=args.synthetic,
         out_dir=args.out_dir,
+        save_epoch=args.save_epoch,
+        resume=args.resume,
     )
 
 

@@ -16,6 +16,11 @@ def main():
     parser.add_argument("--synthetic", action="store_true",
                         help="force the synthetic dataset")
     parser.add_argument("--out-dir", type=str, default=None)
+    parser.add_argument("--save-epoch", type=int, default=None,
+                        help="checkpoint every N epochs (reference "
+                             "params['save_epoch']=2)")
+    parser.add_argument("--resume", action="store_true",
+                        help="continue from the latest checkpoint")
     args = parser.parse_args()
     train(
         data_location=args.data_location,
@@ -27,6 +32,11 @@ def main():
         max_batches=args.max_batches,
         synthetic=args.synthetic,
         out_dir=args.out_dir,
+        params=(
+            {"save_epoch": args.save_epoch}
+            if args.save_epoch is not None else None
+        ),
+        resume=args.resume,
     )
 
 

@@ -37,5 +37,11 @@ class KeySeq:
     def fold_in(self, data: int) -> jax.Array:
         return jax.random.fold_in(self._key, data)
 
+    @property
+    def state(self) -> jax.Array:
+        """Raw key for checkpointing; restore with ``KeySeq(saved_state)``
+        to continue the exact same key stream across a resume."""
+        return self._key
+
 
 DEFAULT_SEED = 369  # the reference's seed (dcgan/train.py:181)

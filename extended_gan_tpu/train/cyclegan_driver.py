@@ -84,7 +84,13 @@ def train(
     synthetic: bool = False,
     out_dir: str | None = None,
     log_every: int = 50,
+    save_epoch: int = 0,
+    resume: bool = False,
 ):
+    """``save_epoch`` > 0 checkpoints the full 4-net state (params + BN
+    stats + Adam moments + PRNG stream + epoch + history) every N epochs;
+    ``resume=True`` continues the run bit-exactly — the failure-recovery
+    path the reference's (broken) cycle_gan trainer never had."""
     data_location = data_location or DEFAULT_DATA
     if synthetic or not os.path.isdir(data_location):
         from ..data.synthetic import ensure_synthetic_coastal
@@ -108,7 +114,32 @@ def train(
     history = TrainingHistory(
         save_path=os.path.join(out_dir, "training_plots"))
 
-    for epoch in range(1, epochs + 1):
+    start_epoch = 1
+    ckpt_mgr = None
+    hist_path = os.path.join(out_dir, "history.json")
+    if out_dir and (resume or save_epoch):
+        from .checkpoint import CheckpointManager
+
+        ckpt_mgr = CheckpointManager(
+            os.path.join(out_dir, "checkpoints"), max_to_keep=2
+        )
+        if resume and ckpt_mgr.latest_step() is not None:
+            restored = ckpt_mgr.restore(
+                {"states": states, "epoch": 0,
+                 "key": np.asarray(keys.state)}
+            )
+            states = mesh.put_replicated(restored["states"])
+            start_epoch = int(restored["epoch"]) + 1
+            keys = KeySeq(jnp.asarray(restored["key"]))
+            if os.path.exists(hist_path):
+                history = TrainingHistory.from_json(
+                    hist_path,
+                    save_path=os.path.join(out_dir, "training_plots"),
+                )
+            print(f"[resume] restored epoch {start_epoch - 1}; "
+                  f"continuing at {start_epoch}")
+
+    for epoch in range(start_epoch, epochs + 1):
         train_loader, test_loader = get_coastal_loaders(
             data_location, train_batch_size, test_batch_size,
             seq_len=nc, crop=imsize, seed=seed + epoch,
@@ -165,5 +196,16 @@ def train(
         }
         print(json.dumps(results, indent=4))
         history.append(results)
+        if ckpt_mgr is not None and (
+            (save_epoch and epoch % save_epoch == 0) or epoch == epochs
+        ):
+            ckpt_mgr.save(
+                epoch,
+                {"states": states, "epoch": epoch,
+                 "key": np.asarray(keys.state)},
+            )
+            history.to_json(hist_path)
+    if ckpt_mgr is not None:
+        ckpt_mgr.close()
     history.plot()
     return states, history

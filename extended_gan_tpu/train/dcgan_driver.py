@@ -82,7 +82,12 @@ def train(
     synthetic: bool = False,
     out_dir: str | None = None,
     params: dict | None = None,
+    resume: bool = False,
 ):
+    """``params["save_epoch"]`` (reference dcgan/train.py:197 — defined but
+    never honored there) checkpoints the full GAN state (all three nets'
+    params + BN stats + Adam moments, the PRNG stream, the epoch counter,
+    the history) every N epochs; ``resume=True`` continues bit-exactly."""
     params = {**DEFAULT_PARAMS, **(params or {})}
     if epochs is not None:
         params["nepochs"] = epochs
@@ -115,7 +120,36 @@ def train(
         save_path=os.path.join(out_dir, "training_plots")
     )
 
-    for epoch in range(1, params["nepochs"] + 1):
+    start_epoch = 1
+    save_epoch = int(params.get("save_epoch") or 0)
+    ckpt_mgr = None
+    hist_path = os.path.join(out_dir, "history.json")
+    if out_dir and (resume or save_epoch):
+        from ..core.prng import KeySeq as _KeySeq
+        from .checkpoint import CheckpointManager
+
+        ckpt_mgr = CheckpointManager(
+            os.path.join(out_dir, "checkpoints"), max_to_keep=2
+        )
+        if resume and ckpt_mgr.latest_step() is not None:
+            import numpy as np
+
+            restored = ckpt_mgr.restore(
+                {"states": states, "epoch": 0,
+                 "key": np.asarray(keys.state)}
+            )
+            states = mesh.put_replicated(restored["states"])
+            start_epoch = int(restored["epoch"]) + 1
+            keys = _KeySeq(jnp.asarray(restored["key"]))
+            if os.path.exists(hist_path):
+                history = TrainingHistory.from_json(
+                    hist_path,
+                    save_path=os.path.join(out_dir, "training_plots"),
+                )
+            print(f"[resume] restored epoch {start_epoch - 1}; "
+                  f"continuing at {start_epoch}")
+
+    for epoch in range(start_epoch, params["nepochs"] + 1):
         train_loader, test_loader = get_h5_loaders(
             data_location,
             train_batch_size,
@@ -145,5 +179,19 @@ def train(
         results = train_result | test_result
         print(json.dumps(results, indent=4))
         history.append(results)
+        if ckpt_mgr is not None and (
+            (save_epoch and epoch % save_epoch == 0)
+            or epoch == params["nepochs"]
+        ):
+            import numpy as np
+
+            ckpt_mgr.save(
+                epoch,
+                {"states": states, "epoch": epoch,
+                 "key": np.asarray(keys.state)},
+            )
+            history.to_json(hist_path)
+    if ckpt_mgr is not None:
+        ckpt_mgr.close()
     history.plot()
     return states, history

@@ -57,3 +57,54 @@ def test_resume_restores_step_lr_schedule(kmni_dir, tmp_path):
     state, _ = train(epochs=3, resume=True, **common)
     # after epoch 3 the schedule must be base * 0.5^3
     assert abs(get_learning_rate(state.opt_state) - 1e-2 * 0.125) < 1e-9
+
+
+def test_dcgan_checkpoint_and_resume(tmp_path):
+    """Interrupt the GAN after 1 epoch, resume, land at epoch 3 with
+    continuous history and the exact same numbers as an uninterrupted run —
+    the reference defines save_epoch (dcgan/train.py:197) but never saves."""
+    from extended_gan_tpu.train.dcgan_driver import train
+
+    common = dict(
+        epochs=3, train_batch_size=8, test_batch_size=8, max_batches=2,
+        synthetic=True, seed=101, params={"ndf": 8, "save_epoch": 1},
+    )
+    # uninterrupted run (the oracle)
+    _, hist_full = train(out_dir=str(tmp_path / "full"), **common)
+
+    out = str(tmp_path / "resumed")
+    _, h1 = train(**{**common, "epochs": 1, "out_dir": out})
+    assert os.path.isdir(os.path.join(out, "checkpoints"))
+    _, h2 = train(**common, out_dir=out, resume=True)
+
+    assert len(h2.history["pred_mse"]) == 3
+    assert h2.history["pred_mse"][0] == h1.history["pred_mse"][0]
+    # kill-and-resume == never-killed (states, PRNG stream, history intact)
+    np.testing.assert_allclose(
+        h2.history["pred_mse"], hist_full.history["pred_mse"], rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        h2.history["train_mse"], hist_full.history["train_mse"], rtol=1e-6
+    )
+
+
+def test_cyclegan_checkpoint_and_resume(tmp_path):
+    from extended_gan_tpu.train.cyclegan_driver import train
+
+    common = dict(
+        epochs=2, train_batch_size=8, test_batch_size=8, max_batches=2,
+        imsize=64, ndf=8, synthetic=True, seed=77, save_epoch=1,
+    )
+    _, hist_full = train(out_dir=str(tmp_path / "full"), **common)
+
+    out = str(tmp_path / "resumed")
+    train(**{**common, "epochs": 1, "out_dir": out})
+    _, h2 = train(**common, out_dir=out, resume=True)
+
+    assert len(h2.history["pred_mse"]) == 2
+    np.testing.assert_allclose(
+        h2.history["pred_mse"], hist_full.history["pred_mse"], rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        h2.history["cycle_l1"], hist_full.history["cycle_l1"], rtol=1e-6
+    )
