@@ -26,6 +26,11 @@ def main():
     parser.add_argument("--precision", choices=("f32", "bf16"),
                         default="f32")
     parser.add_argument("--max-batches", type=int, default=0)
+    parser.add_argument("--data-axis", type=int, default=None,
+                        help="mesh data-parallel axis size (default: all "
+                             "devices / model-axis)")
+    parser.add_argument("--model-axis", type=int, default=1,
+                        help="mesh tensor-parallel axis size")
     args = parser.parse_args()
     if args.action == "train":
         train(
@@ -44,6 +49,8 @@ def main():
             downsample_size=tuple(args.downsample_size),
             precision=args.precision,
             max_batches=args.max_batches,
+            data_axis=args.data_axis,
+            model_axis=args.model_axis,
         )
     elif args.action == "generate_experiment":
         generate_experiment(

@@ -24,8 +24,6 @@ def generate_experiment(exp_folder_name: str, **overrides):
     cfg.output_path = exp_path
     dump_config(cfg)
     kwargs = cfg.to_dict()
-    kwargs.pop("data_axis", None)
-    kwargs.pop("model_axis", None)
     for k, v in overrides.items():
         if v:
             kwargs[k] = v

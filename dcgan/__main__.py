@@ -21,6 +21,12 @@ def main():
                              "params['save_epoch']=2)")
     parser.add_argument("--resume", action="store_true",
                         help="continue from the latest checkpoint")
+    parser.add_argument("--data-axis", type=int, default=None,
+                        help="mesh data-parallel axis size")
+    parser.add_argument("--model-axis", type=int, default=1,
+                        help="mesh tensor-parallel axis size (shards wide "
+                             "discriminator conv kernels + Adam moments)")
+    parser.add_argument("--tp-min-channels", type=int, default=256)
     args = parser.parse_args()
     train(
         data_location=args.data_location,
@@ -37,6 +43,9 @@ def main():
             if args.save_epoch is not None else None
         ),
         resume=args.resume,
+        data_axis=args.data_axis,
+        model_axis=args.model_axis,
+        tp_min_channels=args.tp_min_channels,
     )
 
 

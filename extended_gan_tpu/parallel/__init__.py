@@ -2,6 +2,7 @@ from .mesh import (
     MeshContext,
     initialize_distributed,
     shard_params_tp,
+    shard_net_state_tp,
     cross_replica_mean,
     local_batch_size,
 )
@@ -10,6 +11,7 @@ __all__ = [
     "MeshContext",
     "initialize_distributed",
     "shard_params_tp",
+    "shard_net_state_tp",
     "cross_replica_mean",
     "local_batch_size",
 ]

@@ -164,6 +164,19 @@ def shard_params_tp(params, mesh_ctx: MeshContext, min_channels: int = 256):
     return jax.tree_util.tree_unflatten(treedef, leaves)
 
 
+def shard_net_state_tp(state, mesh_ctx: MeshContext,
+                       min_channels: int = 256):
+    """Tensor-parallel-shard a NetState: conv kernels AND their Adam
+    moments (mu/nu mirror the param shapes) go over the ``model`` axis.
+    Sharding only the params would leave the moments replicated and forfeit
+    TP's memory saving; with both sharded, XLA keeps the optimizer update
+    fully local to each model shard."""
+    return state.replace(
+        params=shard_params_tp(state.params, mesh_ctx, min_channels),
+        opt_state=shard_params_tp(state.opt_state, mesh_ctx, min_channels),
+    )
+
+
 def cross_replica_mean(x, axis_name: str = "data"):
     """pmean helper for code running under shard_map."""
     return jax.lax.pmean(x, axis_name)

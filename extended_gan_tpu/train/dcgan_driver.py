@@ -83,11 +83,19 @@ def train(
     out_dir: str | None = None,
     params: dict | None = None,
     resume: bool = False,
+    data_axis: int | None = None,
+    model_axis: int = 1,
+    tp_min_channels: int = 256,
 ):
     """``params["save_epoch"]`` (reference dcgan/train.py:197 — defined but
     never honored there) checkpoints the full GAN state (all three nets'
     params + BN stats + Adam moments, the PRNG stream, the epoch counter,
-    the history) every N epochs; ``resume=True`` continues bit-exactly."""
+    the history) every N epochs; ``resume=True`` continues bit-exactly.
+
+    ``data_axis``/``model_axis`` shape the device mesh: batches shard over
+    ``data`` (DP); with ``model_axis > 1`` the discriminators' conv kernels
+    (Cout >= tp_min_channels) and their Adam moments shard over ``model``
+    (TP) — XLA inserts the all-gathers/reduce-scatters over ICI."""
     params = {**DEFAULT_PARAMS, **(params or {})}
     if epochs is not None:
         params["nepochs"] = epochs
@@ -102,14 +110,25 @@ def train(
             h=params["imsize"], w=params["imsize"],
         )
 
-    mesh = MeshContext.create()
+    mesh = MeshContext.create(data=data_axis, model=model_axis)
     print(f"mesh: data={mesh.n_data} model={mesh.n_model}")
     print("Random Seed: ", seed)
 
     models, txs, states, keys = build_dcgan(
         params, precision=precision, seed=seed
     )
-    states = mesh.put_replicated(states)
+    def place(s: GANStates) -> GANStates:
+        s = mesh.put_replicated(s)
+        if mesh.n_model > 1:
+            from ..parallel import shard_net_state_tp
+
+            s = s.replace(
+                fd=shard_net_state_tp(s.fd, mesh, tp_min_channels),
+                td=shard_net_state_tp(s.td, mesh, tp_min_channels),
+            )
+        return s
+
+    states = place(states)
     step = make_dcgan_train_step(*models, *txs)
     eval_step = make_dcgan_eval_step(*models)
 
@@ -138,7 +157,7 @@ def train(
                 {"states": states, "epoch": 0,
                  "key": np.asarray(keys.state)}
             )
-            states = mesh.put_replicated(restored["states"])
+            states = place(restored["states"])
             start_epoch = int(restored["epoch"]) + 1
             keys = _KeySeq(jnp.asarray(restored["key"]))
             if os.path.exists(hist_path):

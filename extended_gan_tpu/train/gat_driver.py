@@ -120,10 +120,18 @@ def train(
     checkpoint_every: int = 0,
     remat: bool = False,
     shuffle_mode: str = "batch",
+    data_axis: int | None = None,
+    model_axis: int = 1,
+    tp_min_channels: int = 256,
     **_ignored,
 ):
-    """== convolutional_gat/train.py:158-265 (same kwargs, same flow)."""
-    mesh = MeshContext.create()
+    """== convolutional_gat/train.py:158-265 (same kwargs, same flow).
+
+    ``data_axis``/``model_axis`` (config keys DATA_AXIS / MODEL_AXIS) shape
+    the device mesh: batch DP over ``data``; with ``model_axis > 1`` wide
+    conv kernels (>= tp_min_channels output channels — the SmaAt-UNet
+    mapping/model paths) and their Adam moments shard over ``model``."""
+    mesh = MeshContext.create(data=data_axis, model=model_axis)
     keys = KeySeq(seed)
     dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
     downsample_size = tuple(downsample_size)
@@ -167,7 +175,16 @@ def train(
         jnp.zeros((2, image_width, image_height, steps, n_vertices),
                   jnp.float32),
     )
-    state = mesh.put_replicated(state)
+
+    def place(s):
+        s = mesh.put_replicated(s)
+        if mesh.n_model > 1:
+            from ..parallel import shard_net_state_tp
+
+            s = shard_net_state_tp(s, mesh, tp_min_channels)
+        return s
+
+    state = place(state)
     print(f"Number of parameters: {param_count(state)}")
     print(f"Using mapping: {model.mapping_type}")
 
@@ -194,7 +211,7 @@ def train(
                 {"state": state, "epoch": 0, "lr": learning_rate,
                  "best": float("inf")}
             )
-            state = mesh.put_replicated(restored["state"])
+            state = place(restored["state"])
             start_epoch = int(restored["epoch"]) + 1
             # restore the schedule, not just the value: StepLR derives the
             # LR from its epoch counter; plateau carries lr + best metric
