@@ -24,11 +24,13 @@ def timeit(fn, *args, steps=30, warmup=3, chained=False, donate_cycle=None):
     import jax
 
     out = None
+    state = args
     for _ in range(warmup):
-        out = fn(*args)
+        out = fn(*state)
+        if donate_cycle is not None:
+            state = donate_cycle(out, state)
     jax.block_until_ready(out)
     t0 = time.perf_counter()
-    state = args
     for _ in range(steps):
         out = fn(*state)
         if donate_cycle is not None:
@@ -61,12 +63,12 @@ def bench_dcgan(results, steps):
             )
             ks = KeySeq(0)
 
-            def fn(s):
-                s2, logs = step(s, x, y, m, ks.next())
-                return s2, logs
-
+            # step donates its state arg: thread the returned state back
+            # in (re-passing a donated buffer is invalid)
             dt = timeit(
-                lambda s: fn(s)[0], states, steps=steps, warmup=4,
+                lambda s: step(s, x, y, m, ks.next())[0], states,
+                steps=steps, warmup=4,
+                donate_cycle=lambda out, args: (out,),
             )
             key = f"dcgan_step_{precision}_b{batch}"
             results[key] = {
@@ -124,7 +126,8 @@ def bench_gat(results, steps):
         np.ones(32, np.float32),
     )
     dt = timeit(lambda s: step(s, x, y, m, ks.next())[0], state,
-                steps=steps, warmup=4)
+                steps=steps, warmup=4,
+                donate_cycle=lambda out, args: (out,))
     results["conv_gat_step_f32_b32"] = {
         "ms_per_step": round(dt * 1e3, 3),
         "steps_per_sec": round(1 / dt, 1),
