@@ -35,6 +35,7 @@ from __future__ import annotations
 from typing import Any
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from .layers import (
@@ -103,6 +104,7 @@ class GAT3DHead(nn.Module):
     alpha: float = 0.2
     type_: str = "temporal"
     mapping_type: str = "linear"
+    use_pallas: bool = False  # fused single-kernel attention (temporal)
     dtype: Any = jnp.float32
 
     def _attend(self, mapped, axis_name: str):
@@ -116,15 +118,31 @@ class GAT3DHead(nn.Module):
             f = jnp.mean(mapped, axis=(1, 2)).transpose(0, 2, 1)  # (B, V, T')
         a = self.param(f"a_{axis_name}", xavier_gain_1414, (2 * feat, 1))
         Badj = self.param(f"B_{axis_name}", adjacency_b_init, (m, m))
+        if (self.use_pallas and axis_name == "temporal"
+                and self.type_ == "temporal"):
+            from ...ops.pallas.gat_attention import attend_temporal_pallas
+
+            # the kernel fuses the trailing ELU; flag it to the caller
+            return attend_temporal_pallas(
+                mapped, a[:, 0], normalized_adjacency(Badj), self.alpha
+            ), True
         e = pairwise_scores(f, a[:, 0], self.alpha)  # (B, m, m)
         attention = nn.softmax(e, axis=-1)
         adj_norm = normalized_adjacency(Badj)
-        attention = jnp.einsum("uv,nvw->nuw", adj_norm, attention)
+        # HIGHEST: XLA's default TPU matmul runs bf16 passes (~1e-2 abs
+        # error on O(1) attention values — measured vs an fp64 oracle);
+        # these T/V-sized contractions are free at full f32 and the torch
+        # reference is exact f32
+        hp = jax.lax.Precision.HIGHEST
+        attention = jnp.einsum("uv,nvw->nuw", adj_norm, attention,
+                               precision=hp)
         if axis_name == "temporal":
             return jnp.einsum("bts,bhwsv->bhwtv", attention, mapped,
-                              preferred_element_type=jnp.float32)
+                              preferred_element_type=jnp.float32,
+                              precision=hp), False
         return jnp.einsum("bvu,bhwtu->bhwtv", attention, mapped,
-                          preferred_element_type=jnp.float32)
+                          preferred_element_type=jnp.float32,
+                          precision=hp), False
 
     @nn.compact
     def __call__(self, x, *, train: bool = True):
@@ -133,17 +151,18 @@ class GAT3DHead(nn.Module):
             name="mapping",
         )(x, train=train).astype(jnp.float32)
         if self.type_ == "temporal":
-            out = self._attend(mapped, "temporal")
+            out, elu_done = self._attend(mapped, "temporal")
         elif self.type_ == "spatial":
-            out = self._attend(mapped, "spatial")
+            out, elu_done = self._attend(mapped, "spatial")
         elif self.type_ == "multi_stream":
-            out = 0.5 * (
-                self._attend(mapped, "temporal")
-                + self._attend(mapped, "spatial")
-            )
+            # elu applies to the averaged streams; the fused-elu kernel
+            # cannot be used here
+            t_out, _ = self._attend(mapped, "temporal")
+            s_out, _ = self._attend(mapped, "spatial")
+            out, elu_done = 0.5 * (t_out + s_out), False
         else:
             raise ValueError(f"unknown type_ {self.type_!r}")
-        return nn.elu(out)
+        return out if elu_done else nn.elu(out)
 
 
 class GATMultiHead3D(nn.Module):
@@ -164,6 +183,7 @@ class GATMultiHead3D(nn.Module):
     image_height: int = 0   # accepted for contract parity; shapes are
     image_width: int = 0    # inferred from inputs at trace time
     n_vertices: int = 0
+    use_pallas: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -172,7 +192,8 @@ class GATMultiHead3D(nn.Module):
             nfeat=self.nfeat, nhid=self.nhid,
             n_vertices=self.n_vertices or x.shape[-1],
             alpha=self.alpha, type_=self.type_,
-            mapping_type=self.mapping_type, dtype=self.dtype,
+            mapping_type=self.mapping_type, use_pallas=self.use_pallas,
+            dtype=self.dtype,
         )
         if self.mapping_type == "smaat_unet":
             # the smaat mapping holds BatchNorm, whose train flag lifted
@@ -209,6 +230,7 @@ class Model(nn.Module):
     attention_type: str = "temporal"
     mapping_type: str = "linear"
     time_steps: int = 4
+    use_pallas: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -217,7 +239,8 @@ class Model(nn.Module):
             nfeat=self.time_steps, nhid=self.time_steps, alpha=0.2,
             type_=self.attention_type, mapping_type=self.mapping_type,
             image_height=self.image_height, image_width=self.image_width,
-            n_vertices=self.n_vertices, dtype=self.dtype,
+            n_vertices=self.n_vertices, use_pallas=self.use_pallas,
+            dtype=self.dtype,
         )
         x = GATMultiHead3D(nheads=3, name="hidden_layer", **common)(
             x, train=train)

@@ -25,6 +25,7 @@ from __future__ import annotations
 from typing import Any
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 xavier_gain_1414 = nn.initializers.variance_scaling(
@@ -89,9 +90,13 @@ class GraphAttentionLayer(nn.Module):
         )  # (N, V, V)
         attention = nn.softmax(e, axis=-1)
         adj_norm = normalized_adjacency(B)  # (V, V)
-        attention = jnp.einsum("uv,nvw->nuw", adj_norm, attention)
+        # full-f32 contractions (XLA default = bf16 MXU passes; the small
+        # V-sized dims make HIGHEST free and keep torch-exact numerics)
+        hp = jax.lax.Precision.HIGHEST
+        attention = jnp.einsum("uv,nvw->nuw", adj_norm, attention,
+                               precision=hp)
         h_prime = jnp.einsum(
-            "nuv,nve->nue", attention, Wh.astype(jnp.float32)
+            "nuv,nve->nue", attention, Wh.astype(jnp.float32), precision=hp
         )
         return nn.elu(h_prime)
 
@@ -160,11 +165,12 @@ class GraphAttentionLayer2D(nn.Module):
         )  # (N, V, V, C)
         attention = nn.softmax(e, axis=-1)  # over C — reference :131
         # per-vertex mix: h2[n,i,o,c] = sum_j Wh[n,j,o,c] * att[n,i,j,c]
+        hp = jax.lax.Precision.HIGHEST
         Wh_oc = Wh.transpose(0, 1, 3, 2)  # (N, V, E, C)
-        h2 = jnp.einsum("njoc,nijc->nioc", Wh_oc, attention)
+        h2 = jnp.einsum("njoc,nijc->nioc", Wh_oc, attention, precision=hp)
         adj_norm = normalized_adjacency(B)  # (V, V)
         # reference :155-158: reshape to (N, C*E, V) then @ adj_norm
-        h3 = jnp.einsum("nioc,iv->ncov", h2, adj_norm)
+        h3 = jnp.einsum("nioc,iv->ncov", h2, adj_norm, precision=hp)
         return nn.elu(h3)  # (N, C, E, V)
 
 
