@@ -78,6 +78,10 @@ def get_lib() -> ctypes.CDLL | None:
             _f32p, _f32p,
         ]
         lib.kmni_make_batch.restype = None
+        lib.kmni_make_batch_merged.argtypes = list(
+            lib.kmni_make_batch.argtypes
+        )
+        lib.kmni_make_batch_merged.restype = None
         lib.window_gather.argtypes = [
             _f32p, ctypes.c_int64, ctypes.c_int64, _i64p, ctypes.c_int64,
             ctypes.c_int64, _f32p,
@@ -88,7 +92,7 @@ def get_lib() -> ctypes.CDLL | None:
         ]
         lib.minmax_normalize.restype = None
         lib.egt_native_abi_version.restype = ctypes.c_int
-        assert lib.egt_native_abi_version() == 1
+        assert lib.egt_native_abi_version() == 2
         _lib = lib
         return _lib
 
@@ -138,6 +142,51 @@ def kmni_make_batch(
     return (
         np.ascontiguousarray(wins[:, :, :, :steps]),
         np.ascontiguousarray(wins[:, :, :, steps:]),
+    )
+
+
+def kmni_make_batch_merged(
+    video: np.ndarray,
+    starts: np.ndarray,
+    *,
+    steps: int = 4,
+    crop: int | None = None,
+    max_value: float = 254.0,
+    power: float = 1.0,
+):
+    """merge_nodes mosaic batches: (T, V, H, W) raw video -> (x, y) each
+    (n, steps, 2*crop, 3*crop), vertex pairs (0,1),(1,2),(2,3) tiled
+    2 high x 3 wide (reference kmni_data_loader.py:96-106 layout)."""
+    video = np.ascontiguousarray(video, np.float32)
+    starts = np.ascontiguousarray(starts, np.int64)
+    t, v, h, w = video.shape
+    ch = cw = crop if crop is not None else h
+    ch, cw = min(ch, h), min(cw, w)
+    n = len(starts)
+    lib = get_lib()
+    if lib is not None:
+        x = np.empty((n, steps, 2 * ch, 3 * cw), np.float32)
+        y = np.empty((n, steps, 2 * ch, 3 * cw), np.float32)
+        lib.kmni_make_batch_merged(
+            video, t, v, h, w, starts, n, steps, ch, cw,
+            np.float32(1.0 / max_value), np.float32(power), x, y,
+        )
+        return x, y
+
+    # numpy fallback — identical math and layout
+    norm = (video / max_value) ** power if power != 1.0 else video / max_value
+    idx = starts[:, None] + np.arange(2 * steps)[None, :]
+    wins = norm[idx][:, :, :, :ch, :cw]  # (n, 2S, V, ch, cw)
+    mosaic = np.concatenate(
+        [
+            np.concatenate((wins[:, :, i], wins[:, :, i + 1]), axis=2)
+            for i in range(3)
+        ],
+        axis=3,
+    )  # (n, 2S, 2ch, 3cw)
+    return (
+        np.ascontiguousarray(mosaic[:, :steps]),
+        np.ascontiguousarray(mosaic[:, steps:]),
     )
 
 

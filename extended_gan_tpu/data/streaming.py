@@ -195,16 +195,21 @@ class KmniLoader(_FileStream):
         seed: int = 369,
         use_native: bool = True,
         shuffle_mode: str = "batch",
+        shuffle_pool: int = 4,
     ):
         """shuffle_mode:
 
         - "batch" (reference semantics, kmni_data_loader.py:116-118):
           batches are consecutive windows of one file, shuffled only
           WITHIN the batch — nearly sequential data order.
-        - "global": a seeded permutation over every (file, window) pair in
-          the epoch; batches mix windows across files (an LRU of decoded
-          videos bounds memory). Better SGD mixing; opt-in because it
-          changes epoch statistics vs the reference.
+        - "global": a locality-aware permutation over every (file, window)
+          pair: file order is shuffled, files are grouped into pools of
+          ``shuffle_pool``, and windows shuffle freely WITHIN each pool.
+          Each file therefore decodes exactly once per epoch (the decode
+          cache holds one pool), instead of thrashing under a fully random
+          order. ``shuffle_pool=0`` = one pool = the fully random order.
+          Better SGD mixing than "batch"; opt-in because it changes epoch
+          ordering (not the sample multiset) vs the reference.
         """
         super().__init__(folder, shuffle=shuffle, seed=seed)
         self.batch_size = batch_size
@@ -216,19 +221,18 @@ class KmniLoader(_FileStream):
         self.device = device
         self.data_folder = folder
         self.shuffle_mode = shuffle_mode
+        self.shuffle_pool = shuffle_pool
         if shuffle_mode == "global":
-            if merge_nodes:
-                raise ValueError("global shuffle + merge_nodes unsupported")
             self._init_global()
             self.use_native = True
             self.file_length = 2 * len(self._order)
             return
         if shuffle_mode != "batch":
             raise ValueError(f"unknown shuffle_mode {shuffle_mode!r}")
-        # Native fast path (no mosaic support): raw video + window starts;
-        # batches are materialized by the C++ core (data/native.py) with
+        # Native fast path: raw video + window starts; batches (mosaic
+        # included) are materialized by the C++ core (data/native.py) with
         # gather/normalize/layout fused. Falls back transparently.
-        self.use_native = use_native and not merge_nodes
+        self.use_native = use_native
         if self.use_native:
             self._video: np.ndarray | None = None
             self._starts = np.empty((0,), np.int64)
@@ -251,40 +255,65 @@ class KmniLoader(_FileStream):
 
     # ----------------------------------------------------- global shuffle
     def _init_global(self):
+        from .io import array_n_frames
+
         w = 2 * self.time_steps
-        pairs = []
-        for fi, path in enumerate(self.files):
-            video = truncate_to_multiple(np.asarray(load_array(path)), w)
-            n = max(len(video) - w + 1, 0)
-            pairs.extend((fi, s) for s in range(n))
-        order = np.asarray(pairs, np.int64).reshape(-1, 2)
+        # header-only window counts — O(files) construction, no decode
+        counts = []
+        for path in self.files:
+            usable = (array_n_frames(path) // w) * w
+            counts.append(max(usable - w + 1, 0))
+        file_ids = np.arange(len(self.files))
         if self.shuffle:
-            order = order[self._rng.permutation(len(order))]
-        self._order = order
+            file_ids = self._rng.permutation(file_ids)
+        pool = max(int(self.shuffle_pool), 0) or len(self.files) or 1
+        chunks = []
+        for i in range(0, len(file_ids), pool):
+            pairs = [
+                (fi, s)
+                for fi in file_ids[i : i + pool]
+                for s in range(counts[fi])
+            ]
+            block = np.asarray(pairs, np.int64).reshape(-1, 2)
+            if self.shuffle and len(block):
+                block = block[self._rng.permutation(len(block))]
+            chunks.append(block)
+        self._order = (
+            np.concatenate(chunks) if chunks else np.empty((0, 2), np.int64)
+        )
         self._cursor = 0
+        self._pool_size = pool
         self._video_cache: dict = {}
+        self.n_decodes = 0  # observability: decodes per epoch == n_files
 
     def _load_video(self, fi: int) -> np.ndarray:
         if fi not in self._video_cache:
-            if len(self._video_cache) >= 2:  # tiny LRU
+            # LRU sized to TWO pools: a batch can straddle one pool
+            # boundary, so files of pools k and k+1 may be live at once;
+            # with capacity 2*pool each file decodes exactly once per epoch
+            while len(self._video_cache) >= max(2 * self._pool_size, 2):
                 self._video_cache.pop(next(iter(self._video_cache)))
             data = truncate_to_multiple(
                 np.asarray(load_array(self.files[fi])), 2 * self.time_steps
             )
             self._video_cache[fi] = np.ascontiguousarray(data, np.float32)
+            self.n_decodes += 1
         return self._video_cache[fi]
 
     def _next_global(self):
-        from .native import kmni_make_batch
+        from .native import kmni_make_batch, kmni_make_batch_merged
 
         if self._cursor >= len(self._order):
             raise StopIteration
         batch = self._order[self._cursor : self._cursor + self.batch_size]
         self._cursor += len(batch)
+        make = (
+            kmni_make_batch_merged if self.merge_nodes else kmni_make_batch
+        )
         xs, ys = [], []
         for fi in np.unique(batch[:, 0]):
             starts = batch[batch[:, 0] == fi, 1]
-            x, y = kmni_make_batch(
+            x, y = make(
                 self._load_video(int(fi)), starts, steps=self.time_steps,
                 crop=self.crop, max_value=self.normalizing_max,
                 power=self.power,
@@ -340,14 +369,17 @@ class KmniLoader(_FileStream):
         )
 
     def _next_native(self):
-        from .native import kmni_make_batch
+        from .native import kmni_make_batch, kmni_make_batch_merged
 
         while len(self._starts) == 0:
             self._advance_file()  # raises StopIteration at end of files
         batch_starts = self._starts[: self.batch_size]
         self._starts = self._starts[self.batch_size :]
         idx = self.perm(len(batch_starts))
-        x, y = kmni_make_batch(
+        make = (
+            kmni_make_batch_merged if self.merge_nodes else kmni_make_batch
+        )
+        x, y = make(
             self._video,
             batch_starts[idx],
             steps=self.time_steps,

@@ -88,6 +88,45 @@ void kmni_make_batch(const float* video, int64_t T, int64_t V, int64_t H,
   });
 }
 
+// merge_nodes mosaic variant (kmni_data_loader.py:96-106): overlapping
+// vertex pairs (0,1),(1,2),(2,3) tiled 2 high x 3 wide. Output layout is
+// the reference's merged layout (n, steps, 2*crop_h, 3*crop_w) — note the
+// reference only ever uses vertices 0..3 here regardless of V.
+void kmni_make_batch_merged(const float* video, int64_t T, int64_t V,
+                            int64_t H, int64_t W, const int64_t* starts,
+                            int64_t n, int64_t steps, int64_t crop_h,
+                            int64_t crop_w, float inv_max, float power,
+                            float* out_x, float* out_y) {
+  const int64_t frame = V * H * W;
+  const int64_t oh = 2 * crop_h, ow = 3 * crop_w;
+  const int64_t out_per_win = steps * oh * ow;
+  const bool pow1 = power == 1.0f;
+
+  parallel_for(n, [&](int64_t i) {
+    const int64_t s = starts[i];
+    for (int half = 0; half < 2; ++half) {
+      float* out = (half == 0 ? out_x : out_y) + i * out_per_win;
+      const float* base = video + (s + half * steps) * frame;
+      for (int64_t t = 0; t < steps; ++t) {
+        for (int64_t c = 0; c < 3; ++c) {    // mosaic column: pair (c, c+1)
+          for (int64_t r = 0; r < 2; ++r) {  // row within the pair
+            const float* src = base + t * frame + (c + r) * H * W;
+            for (int64_t h = 0; h < crop_h; ++h) {
+              float* o =
+                  out + t * oh * ow + (r * crop_h + h) * ow + c * crop_w;
+              const float* srow = src + h * W;
+              for (int64_t w = 0; w < crop_w; ++w) {
+                float val = srow[w] * inv_max;
+                o[w] = pow1 ? val : std::pow(val, power);
+              }
+            }
+          }
+        }
+      }
+    }
+  });
+}
+
 // frames: (N, F) float32; starts: n window starts; out: (n, window, F).
 void window_gather(const float* frames, int64_t N, int64_t F,
                    const int64_t* starts, int64_t n, int64_t window,
@@ -110,6 +149,6 @@ void minmax_normalize(float* data, int64_t n, float lo, float hi) {
   });
 }
 
-int egt_native_abi_version() { return 1; }
+int egt_native_abi_version() { return 2; }
 
 }  // extern "C"
