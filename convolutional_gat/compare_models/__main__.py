@@ -175,6 +175,27 @@ def compare_models(
         with open(os.path.join(out_path, "results.json"), "w") as f:
             json.dump(results, f, indent=4)
     plot(out_path, test_loader, entries, mesh)
+    # pred_0.png — the reference's results dir also carries a single-model
+    # prediction grid (compare_models/results/pred_0.png)
+    from extended_gan_tpu.utils.viz import visualize_gat_predictions
+
+    _, viz_loader, _ = get_loaders(
+        2, 2, preprocessed_folder, None, dataset=dataset,
+        downsample_size=tuple(downsample_size), merge_nodes=False,
+        shuffle=True, seed=seed,
+    )
+    first_model, first_state, first_eval = next(iter(entries.values()))
+
+    def _predict(xb):
+        xb = np.asarray(xb, np.float32)
+        xd, yd, mask = _prep_gat_batch(mesh, xb, xb)
+        out = first_eval(first_state, xd, yd, mask, 0.5, 1.0, power=1.0)
+        return np.asarray(out["y_hat"])[: len(xb)]
+
+    visualize_gat_predictions(
+        _predict, viz_loader, epoch=0, path=out_path,
+        power=float(getattr(viz_loader, "power", 1.0)),
+    )
     return entries
 
 

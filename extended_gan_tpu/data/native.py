@@ -109,19 +109,26 @@ def kmni_make_batch(
     starts: np.ndarray,
     *,
     steps: int = 4,
-    crop: int | None = None,
+    crop: int | tuple[int, int] | None = None,
     max_value: float = 254.0,
     power: float = 1.0,
 ):
     """Fused window-gather + normalize + (T,V,H,W)->(B,H,W,S,V) transform.
 
     video: (T, V, H, W) raw float32; starts: (n,) window start frames.
-    Returns (x, y) each (n, crop, crop, steps, V) float32 normalized.
+    ``crop`` is a square int or an (h, w) pair. Returns (x, y) each
+    (n, crop_h, crop_w, steps, V) float32 normalized. Also serves the ARAI
+    loader ((N, R, H, W) region blocks -> (B, H, W, T, R), max_value=1).
     """
     video = np.ascontiguousarray(video, np.float32)
     starts = np.ascontiguousarray(starts, np.int64)
     t, v, h, w = video.shape
-    ch = cw = crop if crop is not None else h
+    if crop is None:
+        ch, cw = h, w
+    elif isinstance(crop, tuple):
+        ch, cw = crop
+    else:
+        ch = cw = crop
     ch, cw = min(ch, h), min(cw, w)
     n = len(starts)
     lib = get_lib()

@@ -412,6 +412,7 @@ class AraiLoader:
         n_regions: int = 5,
         time_steps: int = 4,
         downsample_size: tuple[int, int] = (256, 256),
+        use_native: bool = True,
     ):
         self.batch_size = batch_size
         self.folder = folder
@@ -420,6 +421,7 @@ class AraiLoader:
         self.n_regions = n_regions
         self.time_steps = time_steps
         self.downsample_size = downsample_size
+        self.use_native = use_native
         self.power = 1.0
         self.normalizing_max = 1.0
         self.files = sorted(os.listdir(folder), key=lambda x: int(x.split(".")[0]))
@@ -431,22 +433,50 @@ class AraiLoader:
         tot = self.total_length - (self.time_steps - 1) * (len(self.files) + 1)
         return tot // self.batch_size
 
+    def _produce_native(self, data: np.ndarray):
+        """(N, R, 1, H, W) block -> batches via the fused C++ gather: the
+        same (frames, regions, H, W) -> (B, H, W, T, R) transform the KNMI
+        kernel does (normalization is identity here), GIL-free in this
+        producer thread."""
+        from .native import kmni_make_batch
+
+        video = np.ascontiguousarray(
+            np.asarray(data).squeeze(2), np.float32
+        )  # (N, R, H, W)
+        n_windows = max(len(video) - 2 * self.time_steps + 1, 0)
+        for i in range(0, n_windows, self.batch_size):
+            starts = np.arange(
+                i, min(i + self.batch_size, n_windows), dtype=np.int64
+            )
+            x, y = kmni_make_batch(
+                video, starts, steps=self.time_steps,
+                crop=tuple(self.downsample_size), max_value=1.0, power=1.0,
+            )
+            self._queue.put((x, y))
+
+    def _produce_numpy(self, data: np.ndarray):
+        data = data[
+            :, :, :, : self.downsample_size[0], : self.downsample_size[1]
+        ]
+        windows = sliding_windows(data, 2 * self.time_steps)
+        for i in range(0, len(windows), self.batch_size):
+            chunk = windows[i : i + self.batch_size]
+            self._queue.put(
+                (self._fix_sizes(chunk[:, : self.time_steps]),
+                 self._fix_sizes(chunk[:, self.time_steps :]))
+            )
+
     def _producer(self):
         try:
             for fname in self.files:
                 data = load_array(os.path.join(self.folder, fname))
-                data = data[
-                    :, :, :, : self.downsample_size[0], : self.downsample_size[1]
-                ]
                 # NOTE: like the reference (arai_data_loader.py:159-176 —
                 # its cross-file accumulator is commented out), batches do
                 # not span file boundaries.
-                windows = sliding_windows(data, 2 * self.time_steps)
-                for i in range(0, len(windows), self.batch_size):
-                    chunk = windows[i : i + self.batch_size]
-                    x = chunk[:, : self.time_steps]
-                    y = chunk[:, self.time_steps :]
-                    self._queue.put((x, y))
+                if self.use_native:
+                    self._produce_native(data)
+                else:
+                    self._produce_numpy(data)
         except BaseException as e:  # surface loader errors to the consumer
             self._queue.put(e)
             return
@@ -465,8 +495,7 @@ class AraiLoader:
             raise StopIteration
         if isinstance(item, BaseException):
             raise item
-        x, y = item
-        return self._fix_sizes(x), self._fix_sizes(y)
+        return item
 
     def __iter__(self):
         return self

@@ -61,3 +61,5 @@ def test_compare_models_end_to_end(tmp_path):
         assert "eval_time_s" in metrics
     assert os.path.exists(out / "results.html")
     assert os.path.exists(out / "multi_model_plot.png")
+    # reference results dir parity: single-model prediction grid
+    assert os.path.exists(out / "pred_0.png")

@@ -154,3 +154,28 @@ def test_prefetcher_propagates_errors():
     assert next(p) == (1, 2)
     with pytest.raises(ValueError):
         next(p)
+
+
+def test_arai_native_matches_numpy_path(tmp_path):
+    """ARAI native fast path (fused C++ gather) == the numpy/transpose
+    path, batch for batch."""
+    make_arai_dataset(str(tmp_path), n_files=2, frames_per_file=16,
+                      n_regions=3, h=12, w=14)
+    import json
+    import os
+
+    with open(os.path.join(str(tmp_path), "metadata.json")) as f:
+        meta = json.load(f)
+    mk = lambda un: AraiLoader(
+        4, os.path.join(str(tmp_path), "training"),
+        total_length=meta["training"]["length"],
+        n_regions=meta["n_regions"], downsample_size=(10, 12),
+        use_native=un,
+    )
+    n = 0
+    for (xn, yn), (xp, yp) in zip(mk(True), mk(False)):
+        np.testing.assert_allclose(xn, xp, rtol=1e-6, atol=1e-7)
+        np.testing.assert_allclose(yn, yp, rtol=1e-6, atol=1e-7)
+        assert xn.shape[1:] == (10, 12, 4, 3)
+        n += 1
+    assert n > 0
