@@ -31,6 +31,12 @@ def main():
                              "devices / model-axis)")
     parser.add_argument("--model-axis", type=int, default=1,
                         help="mesh tensor-parallel axis size")
+    parser.add_argument("--profile", action="store_true",
+                        help="record per-epoch step timing (steps/sec, "
+                             "dispatch latency) into history.json")
+    parser.add_argument("--profile-trace-dir", type=str, default="",
+                        help="capture a jax.profiler trace of the first "
+                             "epoch into this directory (implies --profile)")
     args = parser.parse_args()
     if args.action == "train":
         train(
@@ -51,6 +57,8 @@ def main():
             max_batches=args.max_batches,
             data_axis=args.data_axis,
             model_axis=args.model_axis,
+            profile=args.profile,
+            profile_trace_dir=args.profile_trace_dir,
         )
     elif args.action == "generate_experiment":
         generate_experiment(

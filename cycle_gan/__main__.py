@@ -21,6 +21,11 @@ def main():
                         help="checkpoint every N epochs")
     parser.add_argument("--resume", action="store_true",
                         help="continue from the latest checkpoint")
+    parser.add_argument("--profile", action="store_true",
+                        help="record per-epoch step timing into the history")
+    parser.add_argument("--profile-trace-dir", type=str, default="",
+                        help="capture a jax.profiler trace of the first "
+                             "epoch into this directory (implies --profile)")
     args = parser.parse_args()
     train(
         data_location=args.data_location,
@@ -37,6 +42,8 @@ def main():
         out_dir=args.out_dir,
         save_epoch=args.save_epoch,
         resume=args.resume,
+        profile=args.profile,
+        profile_trace_dir=args.profile_trace_dir,
     )
 
 

@@ -27,6 +27,11 @@ def main():
                         help="mesh tensor-parallel axis size (shards wide "
                              "discriminator conv kernels + Adam moments)")
     parser.add_argument("--tp-min-channels", type=int, default=256)
+    parser.add_argument("--profile", action="store_true",
+                        help="record per-epoch step timing into the history")
+    parser.add_argument("--profile-trace-dir", type=str, default="",
+                        help="capture a jax.profiler trace of the first "
+                             "epoch into this directory (implies --profile)")
     args = parser.parse_args()
     train(
         data_location=args.data_location,
@@ -46,6 +51,8 @@ def main():
         data_axis=args.data_axis,
         model_axis=args.model_axis,
         tp_min_channels=args.tp_min_channels,
+        profile=args.profile,
+        profile_trace_dir=args.profile_trace_dir,
     )
 
 

@@ -86,6 +86,8 @@ def train(
     log_every: int = 50,
     save_epoch: int = 0,
     resume: bool = False,
+    profile: bool = False,
+    profile_trace_dir: str = "",
 ):
     """``save_epoch`` > 0 checkpoints the full 4-net state (params + BN
     stats + Adam moments + PRNG stream + epoch + history) every N epochs;
@@ -100,6 +102,12 @@ def train(
         data_location = ensure_synthetic_coastal(
             None, frames_per_file=64, h=imsize, w=imsize,
         )
+
+    profiler = None
+    if profile or profile_trace_dir:
+        from ..utils.profiling import EpochProfiler
+
+        profiler = EpochProfiler(trace_dir=profile_trace_dir)
 
     mesh = MeshContext.create()
     models, txs, states, step, eval_step, keys = build_cyclegan(
@@ -150,11 +158,17 @@ def train(
             train_loader = itertools.islice(iter(train_loader), max_batches)
 
         train_mse = MetricsManager(("mse",), prefix="train")
+        if profiler is not None:
+            profiler.start_epoch()
         pending = []
         for i, (x, y, mask) in enumerate(
             _feed(train_loader, mesh, train_batch_size)
         ):
-            states, logs = step(states, x, y, mask, keys.next())
+            if profiler is not None:
+                with profiler.step():
+                    states, logs = step(states, x, y, mask, keys.next())
+            else:
+                states, logs = step(states, x, y, mask, keys.next())
             pending.append(logs["train_mse_nd"])
             if i % log_every == 0:
                 print(
@@ -167,6 +181,10 @@ def train(
 
         for nd in jax.device_get(pending):
             train_mse.metrics["mse"] += IncrementalTuple(nd)
+        prof_stats = {}
+        if profiler is not None:
+            prof_stats = profiler.end_epoch()
+            print(f"Step timing: {json.dumps(prof_stats)}")
 
         # eval
         pred_mse = IncrementalTuple()
@@ -193,7 +211,7 @@ def train(
         results = train_mse.results() | {
             "pred_mse": pred_mse.item(),
             "cycle_l1": cycle_l1.item(),
-        }
+        } | prof_stats
         print(json.dumps(results, indent=4))
         history.append(results)
         if ckpt_mgr is not None and (

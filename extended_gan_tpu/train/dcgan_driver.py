@@ -86,6 +86,8 @@ def train(
     data_axis: int | None = None,
     model_axis: int = 1,
     tp_min_channels: int = 256,
+    profile: bool = False,
+    profile_trace_dir: str = "",
 ):
     """``params["save_epoch"]`` (reference dcgan/train.py:197 — defined but
     never honored there) checkpoints the full GAN state (all three nets'
@@ -131,6 +133,12 @@ def train(
     states = place(states)
     step = make_dcgan_train_step(*models, *txs)
     eval_step = make_dcgan_eval_step(*models)
+
+    profiler = None
+    if profile or profile_trace_dir:
+        from ..utils.profiling import EpochProfiler
+
+        profiler = EpochProfiler(trace_dir=profile_trace_dir)
 
     out_dir = out_dir or os.path.join(os.path.dirname(__file__), "..", "..",
                                       "dcgan")
@@ -190,6 +198,7 @@ def train(
             batch_size=train_batch_size,
             rng_keys=keys,
             epoch=epoch,
+            profiler=profiler,
         )
         test_result = test(
             test_loader, states, eval_step, mesh, test_batch_size, epoch,

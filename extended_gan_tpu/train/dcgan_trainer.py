@@ -26,7 +26,7 @@ transposes once to NHWC (B, H, W, T) — frames-as-channels.
 from __future__ import annotations
 
 import functools
-
+import json
 import os
 from typing import Callable
 
@@ -254,17 +254,24 @@ def train_single_epoch(
     rng_keys,
     epoch: int,
     log_every: int = 50,
+    profiler=None,
 ):
     """== dcgan/train.py:80-175 (one epoch of fused adversarial steps)."""
     pred_metrics = MetricsManager(("mse",), prefix="train")
     inc_acc_fd = IncrementalTuple()
     inc_acc_td = IncrementalTuple()
+    if profiler is not None:
+        profiler.start_epoch()
     # Per-batch device->host fetches cost a full round trip each (tens of
     # ms over a remote link); logs stay on device and are fetched in ONE
     # transfer at epoch end. Only the periodic loss print synchronizes.
     pending = []
     for i, (x, y, mask) in enumerate(_feed(dataloader, mesh, batch_size)):
-        states, logs = step(states, x, y, mask, rng_keys.next())
+        if profiler is not None:
+            with profiler.step():
+                states, logs = step(states, x, y, mask, rng_keys.next())
+        else:
+            states, logs = step(states, x, y, mask, rng_keys.next())
         pending.append(logs)
         if i % log_every == 0:
             print(
@@ -276,7 +283,12 @@ def train_single_epoch(
         pred_metrics.metrics["mse"] += IncrementalTuple(logs["train_mse_nd"])
         inc_acc_fd += IncrementalTuple(logs["fd_acc_nd"])
         inc_acc_td += IncrementalTuple(logs["td_acc_nd"])
-    return states, pred_metrics.results()
+    results = pred_metrics.results()
+    if profiler is not None:
+        prof_stats = profiler.end_epoch()
+        print(f"Step timing: {json.dumps(prof_stats)}")
+        results |= prof_stats
+    return states, results
 
 
 def test(

@@ -46,6 +46,7 @@ def train_single_epoch(
     output_path: str,
     loader_factory,
     max_batches: int = 0,
+    profiler=None,
 ):
     """== convolutional_gat/train.py:94-155."""
     train_loader, val_loader, _test_loader = loader_factory()
@@ -53,6 +54,8 @@ def train_single_epoch(
     print(f"LR: {scheduler.current()}")
     running_loss = 0.0
     total_length = 0
+    if profiler is not None:
+        profiler.start_epoch()
     pending = []  # device scalars; single fetch at epoch end (RTT-bound)
     for i, (x, y) in enumerate(train_loader):
         if max_batches and i >= max_batches:
@@ -60,13 +63,22 @@ def train_single_epoch(
         if len(x) <= 1:
             continue
         xd, yd, mask = _prep_gat_batch(mesh, x, y)
-        state, logs = step(state, xd, yd, mask, keys.next())
+        if profiler is not None:
+            with profiler.step():
+                state, logs = step(state, xd, yd, mask, keys.next())
+        else:
+            state, logs = step(state, xd, yd, mask, keys.next())
         pending.append(logs["running_nd"])
         total_length += len(x)
     import jax
 
     for nd in jax.device_get(pending):
         running_loss += nd[0]
+    if profiler is not None:
+        prof_stats = profiler.end_epoch()
+        print(f"Step timing: {json.dumps(prof_stats)}")
+        for k, v in prof_stats.items():
+            history.setdefault(k, []).append(v)
     train_loss = running_loss / max(total_length, 1)
     print(f"Train loss: {round(float(train_loss), 6)}")
     history["train_loss"].append(float(train_loss))
@@ -123,6 +135,8 @@ def train(
     data_axis: int | None = None,
     model_axis: int = 1,
     tp_min_channels: int = 256,
+    profile: bool = False,
+    profile_trace_dir: str = "",
     **_ignored,
 ):
     """== convolutional_gat/train.py:158-265 (same kwargs, same flow).
@@ -197,6 +211,12 @@ def train(
         else StepLR(learning_rate, lr_step, gamma)
     )
 
+    profiler = None
+    if profile or profile_trace_dir:
+        from ..utils.profiling import EpochProfiler
+
+        profiler = EpochProfiler(trace_dir=profile_trace_dir)
+
     history: dict = {"train_loss": []}
     start_epoch = 1
     ckpt_mgr = None
@@ -243,7 +263,7 @@ def train(
             epoch=epoch, step=step, eval_step=eval_step, state=state,
             scheduler=scheduler, mesh=mesh, keys=keys, history=history,
             output_path=output_path, loader_factory=loader_factory,
-            max_batches=max_batches,
+            max_batches=max_batches, profiler=profiler,
         )
         if output_path:
             _, viz_loader, _ = loader_factory(2, 2)

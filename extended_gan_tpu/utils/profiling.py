@@ -47,6 +47,64 @@ class StepTimer:
         }
 
 
+class EpochProfiler:
+    """Per-epoch throughput profiler for the training drivers (`--profile`).
+
+    Two measurements that do NOT perturb the async dispatch pipeline:
+
+    - per-step host dispatch time (:class:`StepTimer` around the ``step()``
+      call — the fused programs return immediately, so this is host-side
+      enqueue cost, not device time),
+    - whole-epoch wall time including the single epoch-end device fetch,
+      which syncs the stream — honest pipelined ``steps_per_sec``.
+
+    With ``trace_dir`` set, the FIRST profiled epoch is additionally
+    captured with ``jax.profiler`` for TensorBoard/XProf/perfetto.
+    """
+
+    def __init__(self, trace_dir: str = ""):
+        self.trace_dir = trace_dir
+        self._epoch_idx = 0
+        self._timer = StepTimer(warmup=2)
+        self._t0: float | None = None
+        self._tracing = False
+
+    def start_epoch(self):
+        self._timer = StepTimer(warmup=2)
+        self._t0 = time.perf_counter()
+        if self.trace_dir and self._epoch_idx == 0:
+            import jax
+
+            jax.profiler.start_trace(self.trace_dir)
+            self._tracing = True
+
+    def step(self) -> StepTimer:
+        """Context manager wrapping one train-step dispatch."""
+        return self._timer
+
+    def end_epoch(self) -> dict[str, float]:
+        wall = time.perf_counter() - self._t0 if self._t0 is not None else 0.0
+        if self._tracing:
+            import jax
+
+            jax.profiler.stop_trace()
+            self._tracing = False
+            print(f"[profile] jax trace written to {self.trace_dir}")
+        self._epoch_idx += 1
+        n = self._timer._seen
+        out: dict[str, float] = {
+            "epoch_wall_s": round(wall, 6),
+            "profiled_steps": float(n),
+        }
+        if n and wall > 0:
+            out["steps_per_sec"] = round(n / wall, 3)
+        d = self._timer.stats()
+        if d:
+            out["dispatch_mean_s"] = round(d["mean_s"], 6)
+            out["dispatch_p90_s"] = round(d["p90_s"], 6)
+        return out
+
+
 @contextlib.contextmanager
 def trace(log_dir: str):
     """Capture a jax.profiler trace of the enclosed region."""
