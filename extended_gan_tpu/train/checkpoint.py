@@ -10,21 +10,64 @@ optimizer/scheduler/epoch state (SURVEY.md section 5). Two tiers here:
 - :class:`CheckpointManager` — Orbax-backed full train state (params, BN
   stats, optimizer moments, epoch counter, PRNG key) with resume, the
   failure-recovery subsystem the reference lacks.
+
+Both tiers are **schema-versioned** (``SCHEMA_VERSION``): snapshots embed
+the version they were written with, checkpoint directories carry a
+``schema.json`` sidecar, and loading an unknown-future version fails with a
+clear error instead of a silent mis-restore. Version history:
+
+- v1 (round 1): raw ``{"params", "batch_stats"}`` msgpack payload / bare
+  Orbax directory — still readable (treated as v1 on load).
+- v2: versioned payload + sidecar; cross-precision restore (a checkpoint
+  written from a bf16 run restores into an f32 template and vice versa —
+  leaves are cast to the template's dtype).
 """
 
 from __future__ import annotations
 
+import json
 import os
 from typing import Any
 
 import flax.serialization
 import jax
+import jax.numpy as jnp
 import numpy as np
+
+SCHEMA_VERSION = 2
+_SIDECAR = "schema.json"
+
+
+def _cast_like(template: Any, restored: Any) -> Any:
+    """Cast restored leaves to the template's dtypes (cross-precision
+    restore: bf16 <-> f32)."""
+
+    def cast(t, r):
+        if hasattr(t, "dtype") and hasattr(r, "dtype") and t.dtype != r.dtype:
+            return jnp.asarray(r, t.dtype) if isinstance(
+                r, jax.Array
+            ) else np.asarray(r, t.dtype)
+        return r
+
+    return jax.tree_util.tree_map(cast, template, restored)
+
+
+def _check_version(version: int, where: str):
+    if version > SCHEMA_VERSION:
+        raise ValueError(
+            f"{where} was written with checkpoint schema v{version}, but "
+            f"this build only understands <= v{SCHEMA_VERSION}. Upgrade the "
+            "framework to restore it."
+        )
 
 
 # --------------------------------------------------------------- model-only
 def save_model(path: str, params, batch_stats=None):
-    payload = {"params": params, "batch_stats": batch_stats or {}}
+    payload = {
+        "schema": np.int32(SCHEMA_VERSION),
+        "params": params,
+        "batch_stats": batch_stats or {},
+    }
     data = flax.serialization.to_bytes(payload)
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     with open(path, "wb") as f:
@@ -34,11 +77,15 @@ def save_model(path: str, params, batch_stats=None):
 def load_model(path: str, template_params, template_batch_stats=None):
     with open(path, "rb") as f:
         data = f.read()
-    payload = {
+    raw = flax.serialization.msgpack_restore(data)
+    version = int(raw.pop("schema", 1))  # v1 payloads carry no field
+    _check_version(version, path)
+    template = {
         "params": template_params,
         "batch_stats": template_batch_stats or {},
     }
-    restored = flax.serialization.from_bytes(payload, data)
+    restored = flax.serialization.from_state_dict(template, raw)
+    restored = _cast_like(template, restored)
     return restored["params"], restored["batch_stats"]
 
 
@@ -51,6 +98,7 @@ class CheckpointManager:
 
         self._dir = os.path.abspath(directory)
         os.makedirs(self._dir, exist_ok=True)
+        self._check_sidecar()
         self._mgr = ocp.CheckpointManager(
             self._dir,
             options=ocp.CheckpointManagerOptions(
@@ -58,30 +106,56 @@ class CheckpointManager:
             ),
         )
 
+    def _sidecar_path(self) -> str:
+        return os.path.join(self._dir, _SIDECAR)
+
+    def _check_sidecar(self):
+        path = self._sidecar_path()
+        if os.path.exists(path):
+            with open(path) as f:
+                meta = json.load(f)
+            _check_version(int(meta.get("schema_version", 1)), self._dir)
+
+    def _write_sidecar(self):
+        with open(self._sidecar_path(), "w") as f:
+            json.dump(
+                {"schema_version": SCHEMA_VERSION, "format": "orbax-standard"},
+                f,
+            )
+
     def save(self, step: int, state: Any):
         import orbax.checkpoint as ocp
 
         self._mgr.save(step, args=ocp.args.StandardSave(state))
         self._mgr.wait_until_finished()
+        self._write_sidecar()
 
     def latest_step(self) -> int | None:
         return self._mgr.latest_step()
 
     def restore(self, template: Any, step: int | None = None):
+        """Restore ``step`` (default latest) into ``template``'s structure.
+
+        Leaves are cast to the template's dtypes, so an f32 template
+        restores a bf16-run checkpoint (and vice versa) — resuming a run
+        under a different ``--precision`` than it was saved with.
+        """
         import orbax.checkpoint as ocp
 
         step = step if step is not None else self._mgr.latest_step()
         if step is None:
             return None
+        self._check_sidecar()
         abstract = jax.tree_util.tree_map(
             lambda x: jax.ShapeDtypeStruct(np.shape(x), x.dtype)
             if hasattr(x, "dtype")
             else x,
             template,
         )
-        return self._mgr.restore(
+        restored = self._mgr.restore(
             step, args=ocp.args.StandardRestore(abstract)
         )
+        return _cast_like(template, restored)
 
     def close(self):
         self._mgr.close()
