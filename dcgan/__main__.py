@@ -32,7 +32,15 @@ def main():
     parser.add_argument("--profile-trace-dir", type=str, default="",
                         help="capture a jax.profiler trace of the first "
                              "epoch into this directory (implies --profile)")
+    parser.add_argument("--multihost", action="store_true",
+                        help="initialize the multi-host JAX runtime "
+                             "(jax.distributed) before building the mesh — "
+                             "see docs/MULTIHOST.md")
     args = parser.parse_args()
+    if args.multihost:
+        from extended_gan_tpu.parallel import initialize_distributed
+
+        initialize_distributed()
     train(
         data_location=args.data_location,
         epochs=args.epochs,

@@ -67,10 +67,64 @@ class MeshContext:
         arr = np.array(devices[: data * model]).reshape(data, model)
         return cls(mesh=Mesh(arr, axis_names=("data", "model")))
 
+    @classmethod
+    def create_hybrid(
+        cls,
+        dcn: int | None = None,
+        data: int | None = None,
+        model: int = 1,
+        *,
+        devices: Sequence[jax.Device] | None = None,
+    ) -> "MeshContext":
+        """A 3-axis ``("dcn", "data", "model")`` mesh for multi-slice pods.
+
+        ``dcn`` is the cross-slice (data-center-network) axis: batches shard
+        over ``dcn x data`` jointly, so the only cross-slice collective is
+        the gradient psum — the bandwidth-light direction — while model-axis
+        all-gathers stay on ICI inside a slice (the scaling-book layout).
+
+        On real multi-slice hardware (``dcn`` matches the device topology's
+        slice count) the device order comes from
+        ``mesh_utils.create_hybrid_device_mesh`` so each ``(data, model)``
+        plane is ICI-contiguous; on a single slice/host the axis is
+        simulated by reshaping local devices (how the CPU tests and the
+        driver's dry-run exercise this path).
+        """
+        devices = list(devices if devices is not None else jax.devices())
+        n = len(devices)
+        if dcn is None:
+            dcn = max(len({d.process_index for d in devices}), 1)
+        if data is None:
+            data = n // (dcn * model)
+        need = dcn * data * model
+        if need > n:
+            raise ValueError(
+                f"mesh {dcn}x{data}x{model} needs {need} devices, have {n}"
+            )
+        n_granules = len({d.process_index for d in devices})
+        if dcn > 1 and n_granules == dcn:
+            from jax.experimental import mesh_utils
+
+            arr = mesh_utils.create_hybrid_device_mesh(
+                (data, model), (dcn, 1), devices=devices[:need]
+            ).reshape(dcn, data, model)
+        else:
+            arr = np.array(devices[:need]).reshape(dcn, data, model)
+        return cls(mesh=Mesh(arr, axis_names=("dcn", "data", "model")))
+
     # ------------------------------------------------------------ properties
+    @property
+    def n_dcn(self) -> int:
+        return self.mesh.shape.get("dcn", 1)
+
     @property
     def n_data(self) -> int:
         return self.mesh.shape["data"]
+
+    @property
+    def dp_size(self) -> int:
+        """Total data-parallel degree (cross-slice x intra-slice)."""
+        return self.n_dcn * self.n_data
 
     @property
     def n_model(self) -> int:
@@ -86,7 +140,9 @@ class MeshContext:
 
     @property
     def batch_sharding(self) -> NamedSharding:
-        """Leading axis sharded over the data axis; rest replicated."""
+        """Leading axis sharded over every data-parallel axis."""
+        if "dcn" in self.mesh.axis_names:
+            return self.sharding(("dcn", "data"))
         return self.sharding("data")
 
     @property
@@ -110,8 +166,8 @@ class MeshContext:
         return jax.device_put(tree, self.replicated)
 
     def padded_batch_size(self, batch_size: int) -> int:
-        """Smallest multiple of the data-axis size >= batch_size."""
-        d = self.n_data
+        """Smallest multiple of the data-parallel degree >= batch_size."""
+        d = self.dp_size
         return ((batch_size + d - 1) // d) * d
 
     def pad_to_batch_multiple(self, *arrays: np.ndarray, batch_size: int):
@@ -183,9 +239,9 @@ def cross_replica_mean(x, axis_name: str = "data"):
 
 
 def local_batch_size(global_batch: int, mesh_ctx: MeshContext) -> int:
-    if global_batch % mesh_ctx.n_data != 0:
+    if global_batch % mesh_ctx.dp_size != 0:
         raise ValueError(
-            f"global batch {global_batch} not divisible by data axis "
-            f"{mesh_ctx.n_data}"
+            f"global batch {global_batch} not divisible by data-parallel "
+            f"degree {mesh_ctx.dp_size}"
         )
-    return global_batch // mesh_ctx.n_data
+    return global_batch // mesh_ctx.dp_size

@@ -125,3 +125,36 @@ def test_cyclegan_dp8_matches_single_device():
                     jax.tree_util.tree_leaves(states8.d_x.batch_stats)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=2e-5)
+
+
+def test_hybrid_dcn_mesh_matches_single_device():
+    """Fused DCGAN step under a 3-axis (dcn=2, data=2, model=2) hybrid mesh
+    == single device: the cross-slice gradient psum and the intra-slice
+    TP all-gathers change nothing but the layout."""
+    from extended_gan_tpu.parallel import shard_net_state_tp
+
+    rng = np.random.RandomState(2)
+    x = rng.rand(16, 64, 64, 4).astype(np.float32)
+    y = rng.rand(16, 64, 64, 4).astype(np.float32)
+    key = jax.random.PRNGKey(5)
+
+    states1, logs1 = _one_step(MeshContext.create(data=1), x, y, key)
+
+    mesh = MeshContext.create_hybrid(dcn=2, data=2, model=2)
+    models, txs, states, _ = build_dcgan(PARAMS, seed=7)
+    states = mesh.put_replicated(states)
+    states = states.replace(
+        fd=shard_net_state_tp(states.fd, mesh, min_channels=32),
+        td=shard_net_state_tp(states.td, mesh, min_channels=32),
+    )
+    step = make_dcgan_train_step(*models, *txs)
+    xb, yb, mb = mesh.put_batch(x, y, np.ones(len(x), np.float32))
+    statesH, logsH = step(states, xb, yb, mb, key)
+
+    for k in ("errFD", "errTD", "errG"):
+        np.testing.assert_allclose(
+            float(logs1[k]), float(logsH[k]), rtol=1e-4, atol=1e-5)
+    l1 = jax.tree_util.tree_leaves(states1.g.params)
+    lH = jax.tree_util.tree_leaves(statesH.g.params)
+    for a, b in zip(l1, lH):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)

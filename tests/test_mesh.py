@@ -52,3 +52,27 @@ def test_pad_to_batch_multiple():
 def test_local_batch_size():
     ctx = MeshContext.create()
     assert local_batch_size(32, ctx) == 4
+
+
+def test_hybrid_mesh_axes_and_batch_sharding():
+    from extended_gan_tpu.parallel import MeshContext
+
+    ctx = MeshContext.create_hybrid(dcn=2, data=2, model=2)
+    assert ctx.mesh.axis_names == ("dcn", "data", "model")
+    assert (ctx.n_dcn, ctx.n_data, ctx.n_model) == (2, 2, 2)
+    assert ctx.dp_size == 4
+    x = np.arange(8 * 3, dtype=np.float32).reshape(8, 3)
+    xd = ctx.put_batch(x)
+    # batch shards jointly over dcn x data: 4 distinct shards of 2 rows
+    assert len({s.device for s in xd.addressable_shards}) == 8
+    assert xd.addressable_shards[0].data.shape == (2, 3)
+    np.testing.assert_array_equal(np.asarray(xd), x)
+
+
+def test_hybrid_padded_batch_uses_dp_degree():
+    from extended_gan_tpu.parallel import MeshContext, local_batch_size
+
+    ctx = MeshContext.create_hybrid(dcn=2, data=4, model=1)
+    assert ctx.dp_size == 8
+    assert ctx.padded_batch_size(9) == 16
+    assert local_batch_size(16, ctx) == 2
