@@ -58,6 +58,7 @@ def test_all_committed_experiment_configs_parse():
         assert cfg.mapping_type in ("linear", "conv", "smaat_unet")
 
 
+@pytest.mark.slow
 def test_generate_experiment_synthetic_smoke(tmp_path, monkeypatch):
     """Run the actual experiment pipeline end-to-end on synthetic data."""
     import shutil

@@ -107,6 +107,7 @@ def test_gat3d_conv_param_footprint():
     assert n == 43_936, n
 
 
+@pytest.mark.slow
 def test_smaat_unet_param_count_matches_reference():
     """compare_models/results/results.json: 4,032,548 params."""
     m = SmaAt_UNet(n_channels=4, n_classes=4, kernels_per_layer=2)
@@ -115,6 +116,7 @@ def test_smaat_unet_param_count_matches_reference():
     assert n == 4_032_548, n
 
 
+@pytest.mark.slow
 def test_smaat_unet_forward_odd_size():
     m = SmaAt_UNet(n_channels=4, n_classes=4, kernels_per_layer=1, base=8)
     x = jnp.ones((1, 20, 20, 4))

@@ -7,6 +7,8 @@ import numpy as np
 
 from extended_gan_tpu.models.gat.gat3d import GAT3DHead, Model
 from extended_gan_tpu.models.gat.layers import normalized_adjacency
+import pytest
+
 from extended_gan_tpu.ops.pallas.gat_attention import (
     _reference_impl,
     attend_temporal_pallas,
@@ -89,6 +91,7 @@ def test_head_use_pallas_matches_unfused():
                                rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_model_use_pallas_matches_unfused_with_grads():
     rng = np.random.RandomState(4)
     x = jnp.asarray(rng.rand(2, 12, 12, 4, 6).astype(np.float32))

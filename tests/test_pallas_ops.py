@@ -85,6 +85,7 @@ def test_vmem_fallback_for_large_shapes():
     assert out.shape == (1, 256, 256, 64)
 
 
+@pytest.mark.slow
 def test_smaat_unet_pallas_path_matches_xla_path():
     from extended_gan_tpu.models.smaat_unet import SmaAt_UNet
 

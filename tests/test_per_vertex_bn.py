@@ -3,8 +3,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from extended_gan_tpu.models.unet_model import UnetModel
+import pytest
 
 
+@pytest.mark.slow
 def test_per_vertex_bn_shapes_and_shared_params():
     m = UnetModel(time_steps=4, kernels_per_layer=1, per_vertex_bn=True)
     x = jnp.asarray(np.random.RandomState(0).rand(2, 16, 16, 4, 3),
@@ -20,6 +22,7 @@ def test_per_vertex_bn_shapes_and_shared_params():
     assert bs_leaf.shape[0] == 3
 
 
+@pytest.mark.slow
 def test_per_vertex_bn_matches_manual_per_vertex_loop():
     """vmapped per-vertex execution must equal running the folded model on
     each vertex separately with the same (shared) parameters.

@@ -7,8 +7,10 @@ from extended_gan_tpu.models.unet_model import UnetModel
 from extended_gan_tpu.train.gat_trainer import make_gat_train_step
 from extended_gan_tpu.train.optim import adam
 from extended_gan_tpu.train.state import create_net_state
+import pytest
 
 
+@pytest.mark.slow
 def test_remat_step_matches_plain_step():
     """jax.checkpoint must change memory, never numerics."""
     model = UnetModel(image_width=16, image_height=16, n_vertices=2,

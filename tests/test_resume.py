@@ -59,6 +59,7 @@ def test_resume_restores_step_lr_schedule(kmni_dir, tmp_path):
     assert abs(get_learning_rate(state.opt_state) - 1e-2 * 0.125) < 1e-9
 
 
+@pytest.mark.slow
 def test_dcgan_checkpoint_and_resume(tmp_path):
     """Interrupt the GAN after 1 epoch, resume, land at epoch 3 with
     continuous history and the exact same numbers as an uninterrupted run —
@@ -88,6 +89,7 @@ def test_dcgan_checkpoint_and_resume(tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_cyclegan_checkpoint_and_resume(tmp_path):
     from extended_gan_tpu.train.cyclegan_driver import train
 
