@@ -26,6 +26,12 @@ def main():
     parser.add_argument("--profile-trace-dir", type=str, default="",
                         help="capture a jax.profiler trace of the first "
                              "epoch into this directory (implies --profile)")
+    parser.add_argument("--data-axis", type=int, default=None,
+                        help="mesh data-parallel axis size")
+    parser.add_argument("--model-axis", type=int, default=1,
+                        help="mesh tensor-parallel axis size (shards wide "
+                             "discriminator conv kernels + Adam moments)")
+    parser.add_argument("--tp-min-channels", type=int, default=256)
     parser.add_argument("--multihost", action="store_true",
                         help="initialize the multi-host JAX runtime "
                              "(jax.distributed) before building the mesh — "
@@ -52,6 +58,9 @@ def main():
         resume=args.resume,
         profile=args.profile,
         profile_trace_dir=args.profile_trace_dir,
+        data_axis=args.data_axis,
+        model_axis=args.model_axis,
+        tp_min_channels=args.tp_min_channels,
     )
 
 

@@ -88,6 +88,9 @@ def train(
     resume: bool = False,
     profile: bool = False,
     profile_trace_dir: str = "",
+    data_axis: int | None = None,
+    model_axis: int = 1,
+    tp_min_channels: int = 256,
 ):
     """``save_epoch`` > 0 checkpoints the full 4-net state (params + BN
     stats + Adam moments + PRNG stream + epoch + history) every N epochs;
@@ -109,12 +112,26 @@ def train(
 
         profiler = EpochProfiler(trace_dir=profile_trace_dir)
 
-    mesh = MeshContext.create()
+    mesh = MeshContext.create(data=data_axis, model=model_axis)
+    print(f"mesh: data={mesh.n_data} model={mesh.n_model}")
     models, txs, states, step, eval_step, keys = build_cyclegan(
         nc=nc, ndf=ndf, imsize=imsize, lr=lr, cycle_lambda=cycle_lambda,
         precision=precision, seed=seed,
     )
-    states = mesh.put_replicated(states)
+
+    def place(s: CycleGANStates) -> CycleGANStates:
+        s = mesh.put_replicated(s)
+        if mesh.n_model > 1:
+            from ..parallel import shard_net_state_tp
+
+            # both discriminators' wide conv kernels + Adam moments over TP
+            s = s.replace(
+                d_x=shard_net_state_tp(s.d_x, mesh, tp_min_channels),
+                d_y=shard_net_state_tp(s.d_y, mesh, tp_min_channels),
+            )
+        return s
+
+    states = place(states)
 
     out_dir = out_dir or os.path.join(
         os.path.dirname(__file__), "..", "..", "cycle_gan")

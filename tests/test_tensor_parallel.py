@@ -48,6 +48,7 @@ def _assert_equal_outcome(res_a, res_b, atol_params=5e-4):
                 np.asarray(a), np.asarray(b), atol=atol_params)
 
 
+@pytest.mark.slow
 def test_tp2_matches_replicated_realistic_width():
     """ndf=64 (the reference's production width): model=2 TP == model=1."""
     rng = np.random.RandomState(4)
@@ -65,6 +66,7 @@ def test_tp2_matches_replicated_realistic_width():
     assert tuple(spec) == (None, None, None, "model"), spec
 
 
+@pytest.mark.slow
 def test_dp4_tp2_matches_single_device():
     """Mixed 4x2 (data x model) mesh == single device on one global batch."""
     rng = np.random.RandomState(5)
@@ -89,3 +91,44 @@ def test_dcgan_driver_model_axis_path(tmp_path):
     h = history.history
     assert np.isfinite(h["train_mse"][-1])
     assert np.isfinite(h["pred_mse"][-1])
+
+
+@pytest.mark.slow
+def test_cyclegan_tp2_matches_replicated():
+    """CycleGAN fused step: (data=4, model=2) with both discriminators'
+    wide kernels TP-sharded == replicated single-device — the layout the
+    cycle_gan CLI's --model-axis flag builds."""
+    from extended_gan_tpu.train.cyclegan_driver import build_cyclegan
+
+    rng = np.random.RandomState(9)
+    x = rng.rand(8, 64, 64, 4).astype(np.float32)
+    y = rng.rand(8, 64, 64, 4).astype(np.float32)
+    key = jax.random.PRNGKey(21)
+
+    def one_step(mesh, tp):
+        models, txs, states, step, eval_step, keys = build_cyclegan(
+            nc=4, ndf=8, imsize=64, seed=7,
+        )
+        states = mesh.put_replicated(states)
+        if tp:
+            states = states.replace(
+                d_x=shard_net_state_tp(states.d_x, mesh, min_channels=16),
+                d_y=shard_net_state_tp(states.d_y, mesh, min_channels=16),
+            )
+        xb, yb, mb = mesh.put_batch(x, y, np.ones(len(x), np.float32))
+        states, logs = step(states, xb, yb, mb, key)
+        return states, logs
+
+    states1, logs1 = one_step(MeshContext.create(data=1), tp=False)
+    statesT, logsT = one_step(
+        MeshContext.create(data=4, model=2), tp=True)
+
+    for k in ("g_loss", "cycle_loss", "d_x_loss", "d_y_loss"):
+        np.testing.assert_allclose(
+            float(logs1[k]), float(logsT[k]), rtol=1e-4, atol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(states1.g_xy.params),
+                    jax.tree_util.tree_leaves(statesT.g_xy.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(states1.d_x.params),
+                    jax.tree_util.tree_leaves(statesT.d_x.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
