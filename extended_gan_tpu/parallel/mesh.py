@@ -162,6 +162,14 @@ class MeshContext:
         )
         return out[0] if len(out) == 1 else out
 
+    def put_megabatch(self, *arrays: Any):
+        """Host->device transfer of K-step staged batches (K, B, ...):
+        axis 0 (steps) replicated, axis 1 (batch) sharded over DP."""
+        dp = ("dcn", "data") if "dcn" in self.mesh.axis_names else "data"
+        sharding = self.sharding(None, dp)
+        out = tuple(jax.device_put(a, sharding) for a in arrays)
+        return out[0] if len(out) == 1 else out
+
     def put_replicated(self, tree: Any):
         return jax.device_put(tree, self.replicated)
 

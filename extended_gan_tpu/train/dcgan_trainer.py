@@ -64,7 +64,58 @@ def _tree_add(a, b):
 
 
 def make_dcgan_train_step(g_model, fd_model, td_model, g_tx, fd_tx, td_tx):
+    body = _make_dcgan_step_body(
+        g_model, fd_model, td_model, g_tx, fd_tx, td_tx
+    )
+    return jax.jit(body, donate_argnums=(0,))
+
+
+def make_dcgan_megastep(
+    g_model, fd_model, td_model, g_tx, fd_tx, td_tx
+):
+    """K train steps fused into ONE XLA program via lax.scan — OPT-IN.
+
+    Measured on the real chip this is ~3.3x SLOWER than chaining donated
+    single steps (BENCH_NOTES.md "Megastep" section): async dispatch
+    already pipelines the fused steps, and the scanned GAN-state carry
+    costs per-iteration copies the donated step avoids. It exists for
+    environments where host->device dispatch latency truly dominates
+    (slow control links, tiny models); the drivers keep single steps.
+
+    Numerics match K sequential single steps fed the same rng sequence up
+    to f32 reduction-order (tests/test_megastep.py proves sequencing under
+    SGD at 2e-6 and bounds the Adam near-zero-gradient sensitivity).
+
+    Signature: megastep(states, xs, ys, masks, rngs) with a leading K axis
+    on every batch input. Returned logs: ``*_nd`` accumulator pairs are
+    summed over the K steps (exact — they are pure (num, denom) sums);
+    scalar losses are the LAST step's, matching what a periodic console
+    print would have shown.
+    """
+    body = _make_dcgan_step_body(
+        g_model, fd_model, td_model, g_tx, fd_tx, td_tx
+    )
+
     @functools.partial(jax.jit, donate_argnums=(0,))
+    def megastep(states: GANStates, xs, ys, masks, rngs):
+        def scan_body(s, inp):
+            x, y, m, r = inp
+            s, logs = body(s, x, y, m, r)
+            return s, logs
+
+        states, stacked = jax.lax.scan(
+            scan_body, states, (xs, ys, masks, rngs)
+        )
+        logs = {
+            k: jnp.sum(v, axis=0) if k.endswith("_nd") else v[-1]
+            for k, v in stacked.items()
+        }
+        return states, logs
+
+    return megastep
+
+
+def _make_dcgan_step_body(g_model, fd_model, td_model, g_tx, fd_tx, td_tx):
     def step(states: GANStates, x, y, mask, rng):
         k_g, k_td1, k_td2, k_td3 = jax.random.split(rng, 4)
         xy_real = jnp.concatenate([x, y], axis=-1)
