@@ -31,11 +31,31 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def initialize_distributed(**kwargs) -> None:
-    """Initialize the multi-host JAX runtime (no-op if single-process)."""
+    """Initialize the multi-host JAX runtime.
+
+    Graceful only where failure is benign: already-initialized runtimes
+    and bare single-process launches (no coordinator configured anywhere).
+    If the caller clearly asked for multi-host — explicit kwargs or a
+    coordinator in the environment — a failed init RAISES: silently
+    proceeding would leave every process training independently on the
+    full duplicated batch stream with no error message.
+    """
+    import os
+
     try:
         jax.distributed.initialize(**kwargs)
-    except (RuntimeError, ValueError):
-        pass  # already initialized or single-process
+    except RuntimeError as e:
+        if "already initialized" in str(e).lower():
+            return
+        raise
+    except ValueError as e:
+        wants_multihost = bool(kwargs) or any(
+            os.environ.get(k)
+            for k in ("JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS")
+        )
+        if wants_multihost:
+            raise
+        print(f"[mesh] single-process run (distributed init skipped: {e})")
 
 
 @dataclasses.dataclass
@@ -92,16 +112,22 @@ class MeshContext:
         """
         devices = list(devices if devices is not None else jax.devices())
         n = len(devices)
+        # Granule = slice where the platform exposes it (slice_index on
+        # multislice TPU), else host process. Using process_index alone
+        # would mis-count slices on multi-host-per-slice pods.
+        n_granules = max(
+            len({getattr(d, "slice_index", d.process_index)
+                 for d in devices}), 1)
         if dcn is None:
-            dcn = max(len({d.process_index for d in devices}), 1)
+            dcn = n_granules
         if data is None:
             data = n // (dcn * model)
         need = dcn * data * model
-        if need > n:
+        if need > n or data < 1 or dcn < 1 or model < 1:
             raise ValueError(
-                f"mesh {dcn}x{data}x{model} needs {need} devices, have {n}"
+                f"mesh {dcn}x{data}x{model} needs {need or 'positive'} "
+                f"devices on every axis, have {n}"
             )
-        n_granules = len({d.process_index for d in devices})
         if dcn > 1 and n_granules == dcn:
             from jax.experimental import mesh_utils
 

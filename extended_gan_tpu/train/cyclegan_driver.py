@@ -153,7 +153,7 @@ def train(
                 {"states": states, "epoch": 0,
                  "key": np.asarray(keys.state)}
             )
-            states = mesh.put_replicated(restored["states"])
+            states = place(restored["states"])  # re-apply TP sharding too
             start_epoch = int(restored["epoch"]) + 1
             keys = KeySeq(jnp.asarray(restored["key"]))
             if os.path.exists(hist_path):
@@ -175,16 +175,17 @@ def train(
             train_loader = itertools.islice(iter(train_loader), max_batches)
 
         train_mse = MetricsManager(("mse",), prefix="train")
+        import contextlib
+
+        step_cm = (lambda: profiler.step()) if profiler is not None \
+            else contextlib.nullcontext
         if profiler is not None:
             profiler.start_epoch()
         pending = []
         for i, (x, y, mask) in enumerate(
             _feed(train_loader, mesh, train_batch_size)
         ):
-            if profiler is not None:
-                with profiler.step():
-                    states, logs = step(states, x, y, mask, keys.next())
-            else:
+            with step_cm():
                 states, logs = step(states, x, y, mask, keys.next())
             pending.append(logs["train_mse_nd"])
             if i % log_every == 0:

@@ -316,12 +316,13 @@ def train_single_epoch(
     # Per-batch device->host fetches cost a full round trip each (tens of
     # ms over a remote link); logs stay on device and are fetched in ONE
     # transfer at epoch end. Only the periodic loss print synchronizes.
+    import contextlib
+
+    step_cm = (lambda: profiler.step()) if profiler is not None \
+        else contextlib.nullcontext
     pending = []
     for i, (x, y, mask) in enumerate(_feed(dataloader, mesh, batch_size)):
-        if profiler is not None:
-            with profiler.step():
-                states, logs = step(states, x, y, mask, rng_keys.next())
-        else:
+        with step_cm():
             states, logs = step(states, x, y, mask, rng_keys.next())
         pending.append(logs)
         if i % log_every == 0:

@@ -54,6 +54,10 @@ def train_single_epoch(
     print(f"LR: {scheduler.current()}")
     running_loss = 0.0
     total_length = 0
+    import contextlib
+
+    step_cm = (lambda: profiler.step()) if profiler is not None \
+        else contextlib.nullcontext
     if profiler is not None:
         profiler.start_epoch()
     pending = []  # device scalars; single fetch at epoch end (RTT-bound)
@@ -63,10 +67,7 @@ def train_single_epoch(
         if len(x) <= 1:
             continue
         xd, yd, mask = _prep_gat_batch(mesh, x, y)
-        if profiler is not None:
-            with profiler.step():
-                state, logs = step(state, xd, yd, mask, keys.next())
-        else:
+        with step_cm():
             state, logs = step(state, xd, yd, mask, keys.next())
         pending.append(logs["running_nd"])
         total_length += len(x)

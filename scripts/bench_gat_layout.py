@@ -77,8 +77,9 @@ def main():
         for op in ("elu", "mix", "chain8"):
             a = results[f"{op}_hwtv_b{b}_{hw}"]
             bb = results[f"{op}_tvhw_b{b}_{hw}"]
-            print(f"{op} b{b} {hw}x{hw}: tvhw is {a / bb:.2f}x the hwtv time"
-                  f" ({a*1e3:.3f} -> {bb*1e3:.3f} ms)")
+            print(f"{op} b{b} {hw}x{hw}: transposed layout speedup "
+                  f"{a / bb:.2f}x (hwtv {a*1e3:.3f} ms -> tvhw "
+                  f"{bb*1e3:.3f} ms; >1 means tvhw faster)")
 
 
 if __name__ == "__main__":

@@ -76,3 +76,13 @@ def test_hybrid_padded_batch_uses_dp_degree():
     assert ctx.dp_size == 8
     assert ctx.padded_batch_size(9) == 16
     assert local_batch_size(16, ctx) == 2
+
+
+def test_hybrid_mesh_rejects_zero_data_axis():
+    import pytest
+
+    from extended_gan_tpu.parallel import MeshContext
+
+    # 8 devices cannot host dcn=8 x model=2: data would round to 0
+    with pytest.raises(ValueError, match="devices"):
+        MeshContext.create_hybrid(dcn=8, model=2)

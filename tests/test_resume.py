@@ -110,3 +110,31 @@ def test_cyclegan_checkpoint_and_resume(tmp_path):
     np.testing.assert_allclose(
         h2.history["cycle_l1"], hist_full.history["cycle_l1"], rtol=1e-6
     )
+
+
+@pytest.mark.slow
+def test_cyclegan_resume_reapplies_tp_sharding(tmp_path):
+    """Resuming a TP run must re-shard the restored discriminators: a
+    round-1-style put_replicated on the resume path silently dropped the
+    model-axis sharding (and TP's memory saving) for the rest of the run."""
+    import jax
+
+    from extended_gan_tpu.train.cyclegan_driver import train
+
+    common = dict(
+        epochs=1, train_batch_size=8, test_batch_size=8, max_batches=2,
+        imsize=64, ndf=8, synthetic=True, seed=77, save_epoch=1,
+        data_axis=4, model_axis=2, tp_min_channels=16,
+    )
+    out = str(tmp_path / "tp")
+    train(out_dir=out, **common)
+    states, _ = train(**{**common, "epochs": 2}, out_dir=out, resume=True)
+
+    sharded = [
+        leaf
+        for leaf in jax.tree_util.tree_leaves(states.d_x.params)
+        if hasattr(leaf, "sharding") and leaf.ndim == 4
+        and leaf.shape[-1] >= 16
+        and "model" in (leaf.sharding.spec or ())
+    ]
+    assert sharded, "wide d_x conv kernels lost their TP sharding on resume"
