@@ -1,0 +1,169 @@
+"""Export a trained model to a serving artifact (StableHLO via jax.export).
+
+Produces one self-contained file (weights baked in, batch axis symbolic)
+that serves any batch size without the model's Python code — the
+production-deployment step the reference lacks entirely (its checkpoints
+are state_dicts that need the full training repo to load:
+/root/reference/convolutional_gat/compare_models/__main__.py:122-125).
+
+Usage:
+  # conv-GAT / unet / baseline experiment (config.py + model.msgpack):
+  python scripts/export_model.py convolutional_gat/experiments/demo_unet \
+      --out /tmp/unet.stablehlo --check
+
+  # trained DCGAN generator (Orbax checkpoint dir written by `-m dcgan`):
+  python scripts/export_model.py /path/to/dcgan_out --workload dcgan \
+      --out /tmp/g.stablehlo --check
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _export_gat(args):
+    import jax.numpy as jnp
+
+    from extended_gan_tpu.core import KeySeq
+    from extended_gan_tpu.models.registry import build_model
+    from extended_gan_tpu.train.checkpoint import load_model
+    from extended_gan_tpu.train.optim import adam
+    from extended_gan_tpu.train.state import create_net_state
+    from extended_gan_tpu.utils.config import load_experiment_config
+
+    cfg = load_experiment_config(args.experiment_dir)
+    w, h = args.width or cfg.downsample_size[0], \
+        args.height or cfg.downsample_size[1]
+    t, v = args.time_steps, args.vertices
+    model = build_model(
+        cfg.model_type, image_width=w, image_height=h, n_vertices=v,
+        mapping_type=cfg.mapping_type, time_steps=t,
+    )
+    state = create_net_state(
+        model, adam(1e-3), KeySeq(cfg.seed).next(), jnp.zeros((2, w, h, t, v))
+    )
+    ckpt = os.path.join(args.experiment_dir, "model.msgpack")
+    if not os.path.exists(ckpt):
+        raise SystemExit(f"no checkpoint at {ckpt}; train the experiment "
+                         f"first (generate_experiment)")
+    params, bs = load_model(ckpt, state.params, state.batch_stats)
+    variables = {"params": params}
+    if bs:
+        variables["batch_stats"] = bs
+
+    def fwd(x):
+        return model.apply(variables, x, train=False)
+
+    example = jnp.zeros((1, w, h, t, v), jnp.float32)
+    meta = {"source": args.experiment_dir, "model_type": cfg.model_type,
+            "mapping_type": cfg.mapping_type}
+    return fwd, example, meta
+
+
+def _export_dcgan(args):
+    import jax.numpy as jnp
+
+    from extended_gan_tpu.train.checkpoint import CheckpointManager
+    from extended_gan_tpu.train.dcgan_driver import (
+        DEFAULT_PARAMS,
+        build_dcgan,
+    )
+
+    params = dict(DEFAULT_PARAMS)
+    if args.imsize:
+        params["imsize"] = args.imsize
+    if args.ngf:
+        params["ngf"] = params["ndf"] = args.ngf
+    # seed only shapes the template init; restore() overwrites every weight
+    models, _, states, _ = build_dcgan(params, seed=369)
+    mgr = CheckpointManager(os.path.join(args.experiment_dir, "checkpoints"))
+    if mgr.latest_step() is None:
+        raise SystemExit(f"no Orbax checkpoints under {args.experiment_dir}; "
+                         f"train with --save-epoch first")
+    import numpy as np
+
+    restored = mgr.restore(
+        {"states": states, "epoch": 0, "key": np.zeros(2, np.uint32)}
+    )
+    g_model, g_state = models[0], restored["states"].g
+    variables = {"params": g_state.params}
+    if g_state.batch_stats:
+        variables["batch_stats"] = g_state.batch_stats
+
+    def fwd(x):
+        return g_model.apply(variables, x, train=False)
+
+    im, nc = params["imsize"], params["nc"]
+    example = jnp.zeros((1, im, im, nc), jnp.float32)
+    meta = {"source": args.experiment_dir, "model_type": "dcgan_generator",
+            "epoch": int(restored["epoch"])}
+    return fwd, example, meta
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("experiment_dir")
+    parser.add_argument("--workload", choices=("gat", "dcgan"), default="gat")
+    parser.add_argument("--out", type=str, default="")
+    parser.add_argument("--width", type=int, default=0)
+    parser.add_argument("--height", type=int, default=0)
+    parser.add_argument("--time-steps", type=int, default=4)
+    parser.add_argument("--vertices", type=int, default=6)
+    parser.add_argument("--imsize", type=int, default=0)
+    parser.add_argument("--ngf", type=int, default=0)
+    parser.add_argument("--platforms", type=str, nargs="*", default=None,
+                        help="target runtimes, e.g. --platforms tpu cpu "
+                             "(default: current backend only)")
+    parser.add_argument("--fixed-batch", type=int, default=0,
+                        help="pin the batch axis instead of exporting it "
+                             "symbolically")
+    parser.add_argument("--check", action="store_true",
+                        help="reload the artifact and verify numerics vs "
+                             "the live model at two batch sizes")
+    args = parser.parse_args(argv)
+
+    import numpy as np
+
+    from extended_gan_tpu.serve import (
+        export_forward,
+        save_exported,
+        serving_fn,
+    )
+
+    fwd, example, meta = (
+        _export_dcgan(args) if args.workload == "dcgan" else _export_gat(args)
+    )
+    if args.fixed_batch:
+        example = np.zeros((args.fixed_batch, *example.shape[1:]),
+                           example.dtype)
+    exported = export_forward(
+        fwd, example,
+        batch_polymorphic=not args.fixed_batch,
+        platforms=args.platforms,
+    )
+    out = args.out or os.path.join(args.experiment_dir, "model.stablehlo")
+    info = save_exported(exported, out, metadata=meta)
+    print(json.dumps({"out": out, **info}, indent=2))
+
+    if args.check:
+        serve = serving_fn(out)
+        batches = (args.fixed_batch,) if args.fixed_batch else (2, 5)
+        for b in batches:
+            rng = np.random.default_rng(0)
+            x = rng.random((b, *example.shape[1:]), np.float32)
+            got = np.asarray(serve(x))
+            want = np.asarray(fwd(x))
+            err = float(np.max(np.abs(got - want)))
+            print(f"check b={b}: max|serve - live| = {err:.3e}")
+            assert err < 1e-5, "exported artifact diverges from live model"
+        print("check OK")
+    return out
+
+
+if __name__ == "__main__":
+    main()

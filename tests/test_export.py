@@ -1,0 +1,140 @@
+"""AOT serving export: jax.export round-trip and the export CLI.
+
+The artifact must (a) reproduce the live model bit-for-bit, (b) serve
+ANY batch size from one export (symbolic batch axis), and (c) execute
+without the model's Python class in scope.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _tiny_gat_forward():
+    import jax.numpy as jnp
+
+    from extended_gan_tpu.core import KeySeq
+    from extended_gan_tpu.models.registry import build_model
+    from extended_gan_tpu.train.optim import adam
+    from extended_gan_tpu.train.state import create_net_state
+
+    model = build_model(
+        "temporal", image_width=8, image_height=8, n_vertices=6,
+        mapping_type="conv", time_steps=4,
+    )
+    state = create_net_state(
+        model, adam(1e-3), KeySeq(0).next(), jnp.zeros((2, 8, 8, 4, 6))
+    )
+    variables = {"params": state.params}
+    if state.batch_stats:
+        variables["batch_stats"] = state.batch_stats
+
+    def fwd(x):
+        return model.apply(variables, x, train=False)
+
+    return fwd
+
+
+def test_export_roundtrip_symbolic_batch(tmp_path):
+    from extended_gan_tpu.serve import (
+        export_forward,
+        save_exported,
+        serving_fn,
+    )
+
+    fwd = _tiny_gat_forward()
+    example = np.zeros((1, 8, 8, 4, 6), np.float32)
+    exported = export_forward(fwd, example)
+    path = str(tmp_path / "model.stablehlo")
+    meta = save_exported(exported, path, metadata={"model_type": "temporal"})
+    assert os.path.exists(path)
+    assert meta["model_type"] == "temporal"
+    sidecar = json.load(open(path + ".json"))
+    assert sidecar["format_version"] == 1
+    assert sidecar["nbytes"] > 0
+
+    serve = serving_fn(path)
+    rng = np.random.default_rng(7)
+    # one artifact, multiple batch sizes — the symbolic-dim contract
+    for b in (1, 3, 8):
+        x = rng.random((b, 8, 8, 4, 6), dtype=np.float32)
+        got = np.asarray(serve(x))
+        want = np.asarray(fwd(x))
+        assert got.shape == (b, 8, 8, 4, 6)
+        np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_exported_artifact_runs_without_model_code(tmp_path):
+    """Deserialize + execute in a subprocess that never imports the
+    models package — the no-Python-source serving contract."""
+    from extended_gan_tpu.serve import export_forward, save_exported
+
+    fwd = _tiny_gat_forward()
+    example = np.zeros((1, 8, 8, 4, 6), np.float32)
+    path = str(tmp_path / "model.stablehlo")
+    save_exported(export_forward(fwd, example), path)
+    x = np.random.default_rng(3).random((4, 8, 8, 4, 6), dtype=np.float32)
+    np.save(tmp_path / "x.npy", x)
+
+    code = (
+        "import sys, numpy as np, jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "from jax import export\n"
+        "ex = export.deserialize(open(sys.argv[1], 'rb').read())\n"
+        "y = jax.jit(ex.call)(np.load(sys.argv[2]))\n"
+        "np.save(sys.argv[3], np.asarray(y))\n"
+        "banned = [m for m in sys.modules if 'extended_gan_tpu' in m]\n"
+        "assert not banned, banned\n"
+    )
+    out_npy = str(tmp_path / "y.npy")
+    subprocess.run(
+        [sys.executable, "-c", code, path, str(tmp_path / "x.npy"), out_npy],
+        check=True, cwd=str(tmp_path),
+    )
+    np.testing.assert_allclose(np.load(out_npy), np.asarray(fwd(x)),
+                               atol=1e-6)
+
+
+@pytest.mark.slow
+def test_export_cli_gat(tmp_path):
+    """Experiment dir -> artifact via the CLI, --check verifying numerics."""
+    import jax.numpy as jnp
+
+    from extended_gan_tpu.core import KeySeq
+    from extended_gan_tpu.models.registry import build_model
+    from extended_gan_tpu.train.checkpoint import save_model
+    from extended_gan_tpu.train.optim import adam
+    from extended_gan_tpu.train.state import create_net_state
+
+    exp = tmp_path / "exp_export"
+    os.makedirs(exp)
+    (exp / "config.py").write_text(
+        'MODEL_TYPE = "temporal"\n'
+        'MAPPING_TYPE = "conv"\n'
+        'DATASET = "synthetic"\n'
+        "DOWNSAMPLE_SIZE = (8, 8)\n"
+    )
+    model = build_model(
+        "temporal", image_width=8, image_height=8, n_vertices=6,
+        mapping_type="conv", time_steps=4,
+    )
+    state = create_net_state(
+        model, adam(1e-3), KeySeq(369).next(), jnp.zeros((2, 8, 8, 4, 6))
+    )
+    save_model(str(exp / "model.msgpack"), state.params, state.batch_stats)
+
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    try:
+        import export_model
+    finally:
+        sys.path.pop(0)
+    out = str(tmp_path / "artifact.stablehlo")
+    export_model.main([str(exp), "--out", out, "--check"])
+    assert os.path.exists(out)
+    assert json.load(open(out + ".json"))["model_type"] == "temporal"
