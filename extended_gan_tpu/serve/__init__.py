@@ -7,11 +7,15 @@ from .export import (
     save_exported,
     serving_fn,
 )
+from .server import ModelServer, make_server, serve_forever
 
 __all__ = [
     "FORMAT_VERSION",
+    "ModelServer",
     "export_forward",
     "load_exported",
+    "make_server",
     "save_exported",
+    "serve_forever",
     "serving_fn",
 ]

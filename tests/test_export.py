@@ -138,3 +138,62 @@ def test_export_cli_gat(tmp_path):
     export_model.main([str(exp), "--out", out, "--check"])
     assert os.path.exists(out)
     assert json.load(open(out + ".json"))["model_type"] == "temporal"
+
+
+def test_http_server_predict_roundtrip(tmp_path):
+    """Export -> serve over HTTP -> predict matches the live model; odd
+    batch sizes exercise the pad-to-power-of-two bucketing."""
+    import io
+    import threading
+    import urllib.request
+
+    from extended_gan_tpu.serve import export_forward, make_server, \
+        save_exported
+
+    fwd = _tiny_gat_forward()
+    example = np.zeros((1, 8, 8, 4, 6), np.float32)
+    path = str(tmp_path / "model.stablehlo")
+    save_exported(export_forward(fwd, example), path)
+
+    server = make_server(path, port=0)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/healthz"
+        ) as r:
+            health = json.loads(r.read())
+        assert health["platforms"]
+        assert "float32[b,8,8,4,6]" in health["inputs"][0]
+
+        rng = np.random.default_rng(11)
+        for b in (1, 3, 5):  # 3 and 5 pad to 4 and 8 internally
+            x = rng.random((b, 8, 8, 4, 6), dtype=np.float32)
+            buf = io.BytesIO()
+            np.save(buf, x)
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/predict",
+                data=buf.getvalue(), method="POST",
+            )
+            with urllib.request.urlopen(req) as r:
+                y = np.load(io.BytesIO(r.read()))
+            assert y.shape == (b, 8, 8, 4, 6)
+            np.testing.assert_allclose(y, np.asarray(fwd(x)), atol=1e-6)
+
+        # malformed body -> 400, server stays alive
+        bad = urllib.request.Request(
+            f"http://127.0.0.1:{port}/predict", data=b"junk", method="POST"
+        )
+        try:
+            urllib.request.urlopen(bad)
+            assert False, "expected HTTP 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/healthz"
+        ) as r:
+            assert json.loads(r.read())["requests_served"] == 3
+    finally:
+        server.shutdown()
+        server.server_close()
