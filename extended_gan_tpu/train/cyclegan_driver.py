@@ -164,6 +164,9 @@ def train(
             print(f"[resume] restored epoch {start_epoch - 1}; "
                   f"continuing at {start_epoch}")
 
+    from .preempt import GracefulShutdown
+
+    shutdown = GracefulShutdown().__enter__()
     for epoch in range(start_epoch, epochs + 1):
         train_loader, test_loader = get_coastal_loaders(
             data_location, train_batch_size, test_batch_size,
@@ -234,6 +237,7 @@ def train(
         history.append(results)
         if ckpt_mgr is not None and (
             (save_epoch and epoch % save_epoch == 0) or epoch == epochs
+            or shutdown.requested
         ):
             ckpt_mgr.save(
                 epoch,
@@ -241,6 +245,10 @@ def train(
                  "key": np.asarray(keys.state)},
             )
             history.to_json(hist_path)
+        if shutdown.requested:
+            print(f"[preempt] stopped resumably after epoch {epoch}")
+            break
+    shutdown.__exit__()
     if ckpt_mgr is not None:
         ckpt_mgr.close()
     history.plot()

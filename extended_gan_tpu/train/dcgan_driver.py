@@ -176,6 +176,9 @@ def train(
             print(f"[resume] restored epoch {start_epoch - 1}; "
                   f"continuing at {start_epoch}")
 
+    from .preempt import GracefulShutdown
+
+    shutdown = GracefulShutdown().__enter__()
     for epoch in range(start_epoch, params["nepochs"] + 1):
         train_loader, test_loader = get_h5_loaders(
             data_location,
@@ -210,6 +213,7 @@ def train(
         if ckpt_mgr is not None and (
             (save_epoch and epoch % save_epoch == 0)
             or epoch == params["nepochs"]
+            or shutdown.requested
         ):
             import numpy as np
 
@@ -219,6 +223,10 @@ def train(
                  "key": np.asarray(keys.state)},
             )
             history.to_json(hist_path)
+        if shutdown.requested:
+            print(f"[preempt] stopped resumably after epoch {epoch}")
+            break
+    shutdown.__exit__()
     if ckpt_mgr is not None:
         ckpt_mgr.close()
     history.plot()

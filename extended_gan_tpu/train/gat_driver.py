@@ -259,6 +259,11 @@ def train(
         update_history(history, result)
         print(json.dumps(result, indent=4))
 
+    from .preempt import GracefulShutdown
+
+    # enter/exit are manual (no `with`): on an exception the process is
+    # exiting anyway, and the next train() installs a fresh handler.
+    shutdown = GracefulShutdown().__enter__()
     for epoch in range(start_epoch, epochs + 1):
         state, _ = train_single_epoch(
             epoch=epoch, step=step, eval_step=eval_step, state=state,
@@ -279,7 +284,7 @@ def train(
             )
         if ckpt_mgr is not None and (
             not checkpoint_every or epoch % checkpoint_every == 0
-            or epoch == epochs
+            or epoch == epochs or shutdown.requested
         ):
             best = getattr(scheduler, "best", None)
             ckpt_mgr.save(
@@ -288,6 +293,10 @@ def train(
                  "lr": float(scheduler.current()),
                  "best": float("inf") if best is None else float(best)},
             )
+        if shutdown.requested:
+            print(f"[preempt] stopped resumably after epoch {epoch}")
+            break
+    shutdown.__exit__()
     if ckpt_mgr is not None:
         ckpt_mgr.close()
     return state, history
