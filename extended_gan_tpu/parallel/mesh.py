@@ -45,17 +45,42 @@ def initialize_distributed(**kwargs) -> None:
     try:
         jax.distributed.initialize(**kwargs)
     except RuntimeError as e:
-        if "already initialized" in str(e).lower():
+        # jax 0.9: "distributed.initialize should only be called once.";
+        # older versions said "already initialized" — both are benign.
+        msg = str(e).lower()
+        if "only be called once" in msg or "already initialized" in msg:
             return
         raise
     except ValueError as e:
-        wants_multihost = bool(kwargs) or any(
-            os.environ.get(k)
-            for k in ("JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS")
-        )
+        wants_multihost = bool(kwargs) or _multihost_env_configured(os)
         if wants_multihost:
             raise
         print(f"[mesh] single-process run (distributed init skipped: {e})")
+
+
+def _multihost_env_configured(os) -> bool:
+    """Any sign that this process is one rank of a multi-process launch.
+
+    Covers jax's own env knobs plus the cluster launchers jax
+    auto-detects (SLURM / Open MPI) — a partially-configured one of
+    these must raise, not silently fall back to single-process."""
+    if any(
+        os.environ.get(k)
+        for k in (
+            "JAX_COORDINATOR_ADDRESS",
+            "COORDINATOR_ADDRESS",
+            "JAX_NUM_PROCESSES",
+            "JAX_PROCESS_ID",
+        )
+    ):
+        return True
+    for k in ("SLURM_NTASKS", "OMPI_COMM_WORLD_SIZE"):
+        try:
+            if int(os.environ.get(k, "1")) > 1:
+                return True
+        except ValueError:
+            return True  # set-but-garbled launcher env: surface the error
+    return False
 
 
 @dataclasses.dataclass
@@ -128,11 +153,28 @@ class MeshContext:
                 f"mesh {dcn}x{data}x{model} needs {need or 'positive'} "
                 f"devices on every axis, have {n}"
             )
-        if dcn > 1 and n_granules == dcn:
+        if dcn > 1 and n_granules >= dcn:
             from jax.experimental import mesh_utils
 
+            # Pick data*model devices from each of dcn granules — slicing
+            # devices[:need] instead could land every device in one slice
+            # when the pod has spare capacity (need < n).
+            per = data * model
+            by_granule: dict = {}
+            for d in devices:
+                gid = getattr(d, "slice_index", d.process_index)
+                by_granule.setdefault(gid, []).append(d)
+            full = [g for g in sorted(by_granule)
+                    if len(by_granule[g]) >= per]
+            if len(full) < dcn:
+                sizes = {g: len(v) for g, v in sorted(by_granule.items())}
+                raise ValueError(
+                    f"hybrid mesh {dcn}x{data}x{model} needs {per} devices "
+                    f"in each of {dcn} slices; slice sizes are {sizes}"
+                )
+            picked = [d for g in full[:dcn] for d in by_granule[g][:per]]
             arr = mesh_utils.create_hybrid_device_mesh(
-                (data, model), (dcn, 1), devices=devices[:need]
+                (data, model), (dcn, 1), devices=picked
             ).reshape(dcn, data, model)
         else:
             arr = np.array(devices[:need]).reshape(dcn, data, model)

@@ -164,91 +164,94 @@ def train(
             print(f"[resume] restored epoch {start_epoch - 1}; "
                   f"continuing at {start_epoch}")
 
+    from ..utils.profiling import step_context
     from .preempt import GracefulShutdown
 
+    step_cm = step_context(profiler)
     shutdown = GracefulShutdown().__enter__()
-    for epoch in range(start_epoch, epochs + 1):
-        train_loader, test_loader = get_coastal_loaders(
-            data_location, train_batch_size, test_batch_size,
-            seq_len=nc, crop=imsize, seed=seed + epoch,
-        )
-        if max_batches:
-            import itertools
-
-            train_loader = itertools.islice(iter(train_loader), max_batches)
-
-        train_mse = MetricsManager(("mse",), prefix="train")
-        import contextlib
-
-        step_cm = (lambda: profiler.step()) if profiler is not None \
-            else contextlib.nullcontext
-        if profiler is not None:
-            profiler.start_epoch()
-        pending = []
-        for i, (x, y, mask) in enumerate(
-            _feed(train_loader, mesh, train_batch_size)
-        ):
-            with step_cm():
-                states, logs = step(states, x, y, mask, keys.next())
-            pending.append(logs["train_mse_nd"])
-            if i % log_every == 0:
-                print(
-                    f"Loss_G: {float(logs['g_loss']):.4f}\t"
-                    f"cycle: {float(logs['cycle_loss']):.4f}\t"
-                    f"Loss_DX: {float(logs['d_x_loss']):.4f}\t"
-                    f"Loss_DY: {float(logs['d_y_loss']):.4f}"
-                )
-        import jax
-
-        for nd in jax.device_get(pending):
-            train_mse.metrics["mse"] += IncrementalTuple(nd)
-        prof_stats = {}
-        if profiler is not None:
-            prof_stats = profiler.end_epoch()
-            print(f"Step timing: {json.dumps(prof_stats)}")
-
-        # eval
-        pred_mse = IncrementalTuple()
-        cycle_l1 = IncrementalTuple()
-        pending = []
-        first = True
-        for x, y, mask in _feed(test_loader, mesh, test_batch_size):
-            fake_y, logs = eval_step(states, x, y, mask)
-            pending.append(logs)
-            if first:
-                from ..utils.viz import visualize_predictions
-
-                n = int(np.sum(np.asarray(mask)))
-                visualize_predictions(
-                    np.moveaxis(np.asarray(x)[:n], -1, 1),
-                    np.moveaxis(np.asarray(y)[:n], -1, 1),
-                    np.moveaxis(np.asarray(fake_y)[:n], -1, 1),
-                    epoch, img_path,
-                )
-                first = False
-        for logs in jax.device_get(pending):
-            pred_mse += IncrementalTuple(logs["pred_mse_nd"])
-            cycle_l1 += IncrementalTuple(logs["cycle_l1_nd"])
-        results = train_mse.results() | {
-            "pred_mse": pred_mse.item(),
-            "cycle_l1": cycle_l1.item(),
-        } | prof_stats
-        print(json.dumps(results, indent=4))
-        history.append(results)
-        if ckpt_mgr is not None and (
-            (save_epoch and epoch % save_epoch == 0) or epoch == epochs
-            or shutdown.requested
-        ):
-            ckpt_mgr.save(
-                epoch,
-                {"states": states, "epoch": epoch,
-                 "key": np.asarray(keys.state)},
+    try:
+        for epoch in range(start_epoch, epochs + 1):
+            train_loader, test_loader = get_coastal_loaders(
+                data_location, train_batch_size, test_batch_size,
+                seq_len=nc, crop=imsize, seed=seed + epoch,
             )
-            history.to_json(hist_path)
-        if shutdown.requested:
-            print(f"[preempt] stopped resumably after epoch {epoch}")
-            break
-    shutdown.__exit__()
+            if max_batches:
+                import itertools
+
+                train_loader = itertools.islice(iter(train_loader), max_batches)
+
+            train_mse = MetricsManager(("mse",), prefix="train")
+            if profiler is not None:
+                profiler.start_epoch()
+            pending = []
+            for i, (x, y, mask) in enumerate(
+                _feed(train_loader, mesh, train_batch_size)
+            ):
+                with step_cm():
+                    states, logs = step(states, x, y, mask, keys.next())
+                pending.append(logs["train_mse_nd"])
+                if i % log_every == 0:
+                    print(
+                        f"Loss_G: {float(logs['g_loss']):.4f}\t"
+                        f"cycle: {float(logs['cycle_loss']):.4f}\t"
+                        f"Loss_DX: {float(logs['d_x_loss']):.4f}\t"
+                        f"Loss_DY: {float(logs['d_y_loss']):.4f}"
+                    )
+            import jax
+
+            for nd in jax.device_get(pending):
+                train_mse.metrics["mse"] += IncrementalTuple(nd)
+            prof_stats = {}
+            if profiler is not None:
+                prof_stats = profiler.end_epoch()
+                print(f"Step timing: {json.dumps(prof_stats)}")
+
+            # eval
+            pred_mse = IncrementalTuple()
+            cycle_l1 = IncrementalTuple()
+            pending = []
+            first = True
+            for x, y, mask in _feed(test_loader, mesh, test_batch_size):
+                fake_y, logs = eval_step(states, x, y, mask)
+                pending.append(logs)
+                if first:
+                    from ..utils.viz import visualize_predictions
+
+                    n = int(np.sum(np.asarray(mask)))
+                    visualize_predictions(
+                        np.moveaxis(np.asarray(x)[:n], -1, 1),
+                        np.moveaxis(np.asarray(y)[:n], -1, 1),
+                        np.moveaxis(np.asarray(fake_y)[:n], -1, 1),
+                        epoch, img_path,
+                    )
+                    first = False
+            for logs in jax.device_get(pending):
+                pred_mse += IncrementalTuple(logs["pred_mse_nd"])
+                cycle_l1 += IncrementalTuple(logs["cycle_l1_nd"])
+            results = train_mse.results() | {
+                "pred_mse": pred_mse.item(),
+                "cycle_l1": cycle_l1.item(),
+            } | prof_stats
+            print(json.dumps(results, indent=4))
+            history.append(results)
+            # read once: a SIGTERM between "should we save?" and "should we
+            # stop?" must not break out without the checkpoint
+            preempted = shutdown.requested
+            if ckpt_mgr is not None and (
+                (save_epoch and epoch % save_epoch == 0) or epoch == epochs
+                or preempted
+            ):
+                ckpt_mgr.save(
+                    epoch,
+                    {"states": states, "epoch": epoch,
+                     "key": np.asarray(keys.state)},
+                )
+                history.to_json(hist_path)
+            if preempted:
+                print(f"[preempt] stopped resumably after epoch {epoch}")
+                break
+    finally:
+        shutdown.__exit__()
     if ckpt_mgr is not None:
         ckpt_mgr.close()
     history.plot()

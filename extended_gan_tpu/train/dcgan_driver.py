@@ -179,54 +179,59 @@ def train(
     from .preempt import GracefulShutdown
 
     shutdown = GracefulShutdown().__enter__()
-    for epoch in range(start_epoch, params["nepochs"] + 1):
-        train_loader, test_loader = get_h5_loaders(
-            data_location,
-            train_batch_size,
-            test_batch_size,
-            crop=params["imsize"],
-            in_seq_len=params["nc"],
-            out_seq_len=params["nc"],
-            seed=seed + epoch,
-        )
-        if max_batches:
-            import itertools
-
-            train_loader = itertools.islice(iter(train_loader), max_batches)
-        states, train_result = train_single_epoch(
-            dataloader=train_loader,
-            states=states,
-            step=step,
-            mesh=mesh,
-            batch_size=train_batch_size,
-            rng_keys=keys,
-            epoch=epoch,
-            profiler=profiler,
-        )
-        test_result = test(
-            test_loader, states, eval_step, mesh, test_batch_size, epoch,
-            img_path=img_path,
-        )
-        results = train_result | test_result
-        print(json.dumps(results, indent=4))
-        history.append(results)
-        if ckpt_mgr is not None and (
-            (save_epoch and epoch % save_epoch == 0)
-            or epoch == params["nepochs"]
-            or shutdown.requested
-        ):
-            import numpy as np
-
-            ckpt_mgr.save(
-                epoch,
-                {"states": states, "epoch": epoch,
-                 "key": np.asarray(keys.state)},
+    try:
+        for epoch in range(start_epoch, params["nepochs"] + 1):
+            train_loader, test_loader = get_h5_loaders(
+                data_location,
+                train_batch_size,
+                test_batch_size,
+                crop=params["imsize"],
+                in_seq_len=params["nc"],
+                out_seq_len=params["nc"],
+                seed=seed + epoch,
             )
-            history.to_json(hist_path)
-        if shutdown.requested:
-            print(f"[preempt] stopped resumably after epoch {epoch}")
-            break
-    shutdown.__exit__()
+            if max_batches:
+                import itertools
+
+                train_loader = itertools.islice(iter(train_loader), max_batches)
+            states, train_result = train_single_epoch(
+                dataloader=train_loader,
+                states=states,
+                step=step,
+                mesh=mesh,
+                batch_size=train_batch_size,
+                rng_keys=keys,
+                epoch=epoch,
+                profiler=profiler,
+            )
+            test_result = test(
+                test_loader, states, eval_step, mesh, test_batch_size, epoch,
+                img_path=img_path,
+            )
+            results = train_result | test_result
+            print(json.dumps(results, indent=4))
+            history.append(results)
+            # read once: a SIGTERM between "should we save?" and "should we
+            # stop?" must not break out without the checkpoint
+            preempted = shutdown.requested
+            if ckpt_mgr is not None and (
+                (save_epoch and epoch % save_epoch == 0)
+                or epoch == params["nepochs"]
+                or preempted
+            ):
+                import numpy as np
+
+                ckpt_mgr.save(
+                    epoch,
+                    {"states": states, "epoch": epoch,
+                     "key": np.asarray(keys.state)},
+                )
+                history.to_json(hist_path)
+            if preempted:
+                print(f"[preempt] stopped resumably after epoch {epoch}")
+                break
+    finally:
+        shutdown.__exit__()
     if ckpt_mgr is not None:
         ckpt_mgr.close()
     history.plot()

@@ -316,10 +316,9 @@ def train_single_epoch(
     # Per-batch device->host fetches cost a full round trip each (tens of
     # ms over a remote link); logs stay on device and are fetched in ONE
     # transfer at epoch end. Only the periodic loss print synchronizes.
-    import contextlib
+    from ..utils.profiling import step_context
 
-    step_cm = (lambda: profiler.step()) if profiler is not None \
-        else contextlib.nullcontext
+    step_cm = step_context(profiler)
     pending = []
     for i, (x, y, mask) in enumerate(_feed(dataloader, mesh, batch_size)):
         with step_cm():

@@ -54,10 +54,9 @@ def train_single_epoch(
     print(f"LR: {scheduler.current()}")
     running_loss = 0.0
     total_length = 0
-    import contextlib
+    from ..utils.profiling import step_context
 
-    step_cm = (lambda: profiler.step()) if profiler is not None \
-        else contextlib.nullcontext
+    step_cm = step_context(profiler)
     if profiler is not None:
         profiler.start_epoch()
     pending = []  # device scalars; single fetch at epoch end (RTT-bound)
@@ -261,42 +260,45 @@ def train(
 
     from .preempt import GracefulShutdown
 
-    # enter/exit are manual (no `with`): on an exception the process is
-    # exiting anyway, and the next train() installs a fresh handler.
     shutdown = GracefulShutdown().__enter__()
-    for epoch in range(start_epoch, epochs + 1):
-        state, _ = train_single_epoch(
-            epoch=epoch, step=step, eval_step=eval_step, state=state,
-            scheduler=scheduler, mesh=mesh, keys=keys, history=history,
-            output_path=output_path, loader_factory=loader_factory,
-            max_batches=max_batches, profiler=profiler,
-        )
-        if output_path:
-            _, viz_loader, _ = loader_factory(2, 2)
-            visualize_gat_predictions(
-                lambda xb: _predict_batch(eval_step, state, mesh, xb),
-                viz_loader, epoch=epoch, path=output_path,
-                power=float(getattr(viz_loader, "power", 1.0)),
+    try:
+        for epoch in range(start_epoch, epochs + 1):
+            state, _ = train_single_epoch(
+                epoch=epoch, step=step, eval_step=eval_step, state=state,
+                scheduler=scheduler, mesh=mesh, keys=keys, history=history,
+                output_path=output_path, loader_factory=loader_factory,
+                max_batches=max_batches, profiler=profiler,
             )
-            plot_history(
-                history, title="Training History", save=True,
-                filename=os.path.join(output_path, f"history_{epoch}.png"),
-            )
-        if ckpt_mgr is not None and (
-            not checkpoint_every or epoch % checkpoint_every == 0
-            or epoch == epochs or shutdown.requested
-        ):
-            best = getattr(scheduler, "best", None)
-            ckpt_mgr.save(
-                epoch,
-                {"state": state, "epoch": epoch,
-                 "lr": float(scheduler.current()),
-                 "best": float("inf") if best is None else float(best)},
-            )
-        if shutdown.requested:
-            print(f"[preempt] stopped resumably after epoch {epoch}")
-            break
-    shutdown.__exit__()
+            if output_path:
+                _, viz_loader, _ = loader_factory(2, 2)
+                visualize_gat_predictions(
+                    lambda xb: _predict_batch(eval_step, state, mesh, xb),
+                    viz_loader, epoch=epoch, path=output_path,
+                    power=float(getattr(viz_loader, "power", 1.0)),
+                )
+                plot_history(
+                    history, title="Training History", save=True,
+                    filename=os.path.join(output_path, f"history_{epoch}.png"),
+                )
+            # read once: a SIGTERM between "should we save?" and "should we
+            # stop?" must not break out without the checkpoint
+            preempted = shutdown.requested
+            if ckpt_mgr is not None and (
+                not checkpoint_every or epoch % checkpoint_every == 0
+                or epoch == epochs or preempted
+            ):
+                best = getattr(scheduler, "best", None)
+                ckpt_mgr.save(
+                    epoch,
+                    {"state": state, "epoch": epoch,
+                     "lr": float(scheduler.current()),
+                     "best": float("inf") if best is None else float(best)},
+                )
+            if preempted:
+                print(f"[preempt] stopped resumably after epoch {epoch}")
+                break
+    finally:
+        shutdown.__exit__()
     if ckpt_mgr is not None:
         ckpt_mgr.close()
     return state, history

@@ -122,3 +122,15 @@ def annotate(name: str):
     import jax
 
     return jax.profiler.TraceAnnotation(name)
+
+
+def step_context(profiler: "EpochProfiler | None"):
+    """Per-step timing context factory shared by the three drivers.
+
+    Returns a zero-arg callable: ``profiler.step`` when profiling, else a
+    no-op context. Build it ONCE per epoch loop and call it each step —
+    keeps the hot loop branch-free.
+    """
+    if profiler is not None:
+        return profiler.step
+    return contextlib.nullcontext

@@ -86,3 +86,56 @@ def test_hybrid_mesh_rejects_zero_data_axis():
     # 8 devices cannot host dcn=8 x model=2: data would round to 0
     with pytest.raises(ValueError, match="devices"):
         MeshContext.create_hybrid(dcn=8, model=2)
+
+
+def test_initialize_distributed_reinit_is_benign(monkeypatch):
+    """jax 0.9's double-init message ('should only be called once') must be
+    swallowed — round-2 review: the old match string was dead code."""
+    import jax
+
+    from extended_gan_tpu.parallel.mesh import initialize_distributed
+
+    def raise_once(**kwargs):
+        raise RuntimeError("distributed.initialize should only be called once.")
+
+    monkeypatch.setattr(jax.distributed, "initialize", raise_once)
+    initialize_distributed()  # must not raise
+
+
+def test_initialize_distributed_raises_under_launcher_env(monkeypatch):
+    """A partially-configured multi-process launch (SLURM here) must raise,
+    not silently fall back to N independent single-process trainings."""
+    import jax
+    import pytest
+
+    from extended_gan_tpu.parallel.mesh import initialize_distributed
+
+    def fail(**kwargs):
+        raise ValueError("Number of processes must be defined.")
+
+    monkeypatch.setattr(jax.distributed, "initialize", fail)
+    monkeypatch.setenv("SLURM_NTASKS", "4")
+    with pytest.raises(ValueError, match="processes"):
+        initialize_distributed()
+    monkeypatch.setenv("SLURM_NTASKS", "1")
+    initialize_distributed()  # bare single-process: benign
+
+
+def test_hybrid_mesh_rejects_unbalanced_slices():
+    """With spare capacity the hybrid mesh must draw devices from every
+    slice — and refuse when some slice can't supply its share."""
+    import pytest
+
+    from extended_gan_tpu.parallel import MeshContext
+
+    class FakeDev:
+        def __init__(self, slice_index):
+            self.slice_index = slice_index
+            self.process_index = slice_index
+
+    # 7 devices in slice 0, 1 in slice 1: dcn=2 x (data=1 x model=2)
+    # needs 2 per slice; slice 1 has only 1 -> must raise, not silently
+    # build a "dcn" axis living entirely inside slice 0
+    devs = [FakeDev(0)] * 7 + [FakeDev(1)]
+    with pytest.raises(ValueError, match="slice sizes"):
+        MeshContext.create_hybrid(dcn=2, data=1, model=2, devices=devs)
