@@ -37,7 +37,7 @@ GAT_V100_ESTIMATE = 200.0
 TARGET_MULTIPLIER = 5.0
 
 
-def _time_step(step, states, args, key_seq, n_steps=50, trials=3):
+def _time_step(step, states, args, key_seq, n_steps=50, trials=5):
     """Best-of-N trials of n chained donating steps (block once per trial)."""
     import jax
 

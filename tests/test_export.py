@@ -197,3 +197,31 @@ def test_http_server_predict_roundtrip(tmp_path):
     finally:
         server.shutdown()
         server.server_close()
+
+
+@pytest.mark.slow
+def test_export_cli_dcgan_generator(tmp_path):
+    """Orbax GAN checkpoint -> generator artifact via --workload dcgan."""
+    from extended_gan_tpu.train.dcgan_driver import train
+
+    out = str(tmp_path / "run")
+    train(
+        epochs=1, train_batch_size=8, test_batch_size=8, max_batches=2,
+        synthetic=True, seed=5, out_dir=out,
+        params={"imsize": 64, "ngf": 8, "ndf": 8, "save_epoch": 1},
+    )
+
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    try:
+        import export_model
+    finally:
+        sys.path.pop(0)
+    artifact = str(tmp_path / "g.stablehlo")
+    export_model.main([
+        out, "--workload", "dcgan", "--ngf", "8", "--out", artifact,
+        "--check",
+    ])
+    assert os.path.exists(artifact)
+    meta = json.load(open(artifact + ".json"))
+    assert meta["model_type"] == "dcgan_generator"
+    assert meta["epoch"] == 1
