@@ -45,7 +45,8 @@ def main():
     if args.multihost:
         from extended_gan_tpu.parallel import initialize_distributed
 
-        initialize_distributed()
+        # --multihost is explicit intent: failures must raise
+        initialize_distributed(require=True)
     if args.action == "train":
         train(
             model_type=args.model_type,

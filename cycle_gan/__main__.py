@@ -40,7 +40,8 @@ def main():
     if args.multihost:
         from extended_gan_tpu.parallel import initialize_distributed
 
-        initialize_distributed()
+        # --multihost is explicit intent: failures must raise
+        initialize_distributed(require=True)
     train(
         data_location=args.data_location,
         epochs=args.epochs,

@@ -286,12 +286,19 @@ class KmniLoader(_FileStream):
         self._video_cache: dict = {}
         self.n_decodes = 0  # observability: decodes per epoch == n_files
 
+    # Hard memory ceiling on decoded videos held at once. Pooled mode never
+    # needs more than 2 pools; fully-random mode (shuffle_pool=0 => pool ==
+    # n_files) would otherwise cache the ENTIRE decoded archive — there the
+    # cap trades re-decodes for bounded host RAM.
+    MAX_CACHED_VIDEOS = 16
+
     def _load_video(self, fi: int) -> np.ndarray:
         if fi not in self._video_cache:
             # LRU sized to TWO pools: a batch can straddle one pool
             # boundary, so files of pools k and k+1 may be live at once;
             # with capacity 2*pool each file decodes exactly once per epoch
-            while len(self._video_cache) >= max(2 * self._pool_size, 2):
+            cap = min(max(2 * self._pool_size, 2), self.MAX_CACHED_VIDEOS)
+            while len(self._video_cache) >= cap:
                 self._video_cache.pop(next(iter(self._video_cache)))
             data = truncate_to_multiple(
                 np.asarray(load_array(self.files[fi])), 2 * self.time_steps

@@ -30,15 +30,16 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def initialize_distributed(**kwargs) -> None:
+def initialize_distributed(require: bool = False, **kwargs) -> None:
     """Initialize the multi-host JAX runtime.
 
     Graceful only where failure is benign: already-initialized runtimes
     and bare single-process launches (no coordinator configured anywhere).
-    If the caller clearly asked for multi-host — explicit kwargs or a
-    coordinator in the environment — a failed init RAISES: silently
-    proceeding would leave every process training independently on the
-    full duplicated batch stream with no error message.
+    If the caller clearly asked for multi-host — ``require=True`` (the
+    CLIs' ``--multihost``), explicit kwargs, or a launcher/coordinator
+    environment — a failed init RAISES: silently proceeding would leave
+    every process training independently on the full duplicated batch
+    stream with no error message.
     """
     import os
 
@@ -52,7 +53,9 @@ def initialize_distributed(**kwargs) -> None:
             return
         raise
     except ValueError as e:
-        wants_multihost = bool(kwargs) or _multihost_env_configured(os)
+        wants_multihost = (
+            require or bool(kwargs) or _multihost_env_configured(os)
+        )
         if wants_multihost:
             raise
         print(f"[mesh] single-process run (distributed init skipped: {e})")

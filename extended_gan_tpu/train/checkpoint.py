@@ -159,3 +159,50 @@ class CheckpointManager:
 
     def close(self):
         self._mgr.close()
+
+
+def setup_gan_checkpointing(
+    out_dir: str,
+    *,
+    resume: bool,
+    save_epoch: int,
+    states,
+    keys,
+    place,
+    history,
+):
+    """Shared dcgan/cyclegan resume block.
+
+    Creates the CheckpointManager (when checkpointing or resuming is
+    requested) and restores the latest full GAN state, re-applying the
+    mesh placement/TP sharding via ``place``. Single-sourced because the
+    two drivers' hand-copied versions had already diverged once (the
+    cyclegan copy forgot the TP re-shard on restore — round-2 review).
+
+    Returns ``(ckpt_mgr, states, start_epoch, keys, history)``.
+    """
+    from ..core.prng import KeySeq
+    from ..utils.history import TrainingHistory
+
+    start_epoch = 1
+    ckpt_mgr = None
+    if out_dir and (resume or save_epoch):
+        ckpt_mgr = CheckpointManager(
+            os.path.join(out_dir, "checkpoints"), max_to_keep=2
+        )
+        if resume and ckpt_mgr.latest_step() is not None:
+            restored = ckpt_mgr.restore(
+                {"states": states, "epoch": 0,
+                 "key": np.asarray(keys.state)}
+            )
+            states = place(restored["states"])
+            start_epoch = int(restored["epoch"]) + 1
+            keys = KeySeq(jnp.asarray(restored["key"]))
+            hist_path = os.path.join(out_dir, "history.json")
+            if os.path.exists(hist_path):
+                history = TrainingHistory.from_json(
+                    hist_path, save_path=history.save_path
+                )
+            print(f"[resume] restored epoch {start_epoch - 1}; "
+                  f"continuing at {start_epoch}")
+    return ckpt_mgr, states, start_epoch, keys, history

@@ -147,34 +147,14 @@ def train(
         save_path=os.path.join(out_dir, "training_plots")
     )
 
-    start_epoch = 1
     save_epoch = int(params.get("save_epoch") or 0)
-    ckpt_mgr = None
     hist_path = os.path.join(out_dir, "history.json")
-    if out_dir and (resume or save_epoch):
-        from ..core.prng import KeySeq as _KeySeq
-        from .checkpoint import CheckpointManager
+    from .checkpoint import setup_gan_checkpointing
 
-        ckpt_mgr = CheckpointManager(
-            os.path.join(out_dir, "checkpoints"), max_to_keep=2
-        )
-        if resume and ckpt_mgr.latest_step() is not None:
-            import numpy as np
-
-            restored = ckpt_mgr.restore(
-                {"states": states, "epoch": 0,
-                 "key": np.asarray(keys.state)}
-            )
-            states = place(restored["states"])
-            start_epoch = int(restored["epoch"]) + 1
-            keys = _KeySeq(jnp.asarray(restored["key"]))
-            if os.path.exists(hist_path):
-                history = TrainingHistory.from_json(
-                    hist_path,
-                    save_path=os.path.join(out_dir, "training_plots"),
-                )
-            print(f"[resume] restored epoch {start_epoch - 1}; "
-                  f"continuing at {start_epoch}")
+    ckpt_mgr, states, start_epoch, keys, history = setup_gan_checkpointing(
+        out_dir, resume=resume, save_epoch=save_epoch, states=states,
+        keys=keys, place=place, history=history,
+    )
 
     from .preempt import GracefulShutdown
 

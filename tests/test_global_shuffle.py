@@ -109,3 +109,19 @@ def test_merged_native_matches_python_path(tmp_path):
         np.testing.assert_allclose(yn, yp, rtol=1e-6, atol=1e-7)
         n_batches += 1
     assert n_batches > 0
+
+
+def test_fully_random_mode_bounds_decoded_cache(tmp_path):
+    """shuffle_pool=0 (fully random) must NOT cache the whole decoded
+    archive: host RAM is capped at MAX_CACHED_VIDEOS decoded files, paying
+    re-decodes instead (round-2 review finding)."""
+    make_kmni_dataset(str(tmp_path), n_train_files=20, n_test_files=1,
+                      frames_per_file=16, n_vertices=6, hw=8)
+    folder = str(tmp_path / "train")
+    loader = KmniLoader(8, folder, shuffle=True, crop=8,
+                        shuffle_mode="global", seed=2, shuffle_pool=0)
+    peak = 0
+    for _ in loader:
+        peak = max(peak, len(loader._video_cache))
+    assert peak <= KmniLoader.MAX_CACHED_VIDEOS
+    assert loader.n_decodes >= len(loader.files)  # re-decodes are expected
