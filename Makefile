@@ -1,9 +1,13 @@
 # Common entry points (see README.md for the full quickstart)
 
-.PHONY: test bench bench-all demo-dcgan demo-cyclegan demo-gat dryrun native
+.PHONY: test test-fast bench bench-all demo-dcgan demo-cyclegan demo-gat dryrun native
 
 test:
 	python -m pytest tests/ -q
+
+# unit/integration tier only (~4 min single-core; golden/e2e tests are `slow`)
+test-fast:
+	python -m pytest tests/ -q -m "not slow"
 
 bench:
 	python bench.py

@@ -26,4 +26,8 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: extended_gan_tpu/__init__.py already points
+# every process (tests included) at ~/.cache/egt_jax_cache, so CPU-tier
+# compiles >1 s are AOT-cached across suite runs. Nothing to configure here.
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

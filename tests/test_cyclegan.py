@@ -1,6 +1,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from extended_gan_tpu.train.cyclegan_driver import build_cyclegan
 
@@ -29,6 +30,7 @@ def test_cyclegan_step_updates_all_four_nets():
     assert float(logs["cycle_loss"]) > 0
 
 
+@pytest.mark.slow
 def test_cycle_loss_decreases_with_training():
     models, txs, states, step, eval_step, keys = _tiny()
     rng = np.random.RandomState(1)
@@ -45,6 +47,7 @@ def test_cycle_loss_decreases_with_training():
     assert last < first
 
 
+@pytest.mark.slow
 def test_cyclegan_end_to_end_synthetic(tmp_path):
     from extended_gan_tpu.train.cyclegan_driver import train
 

@@ -1,6 +1,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from extended_gan_tpu.models.dcgan import (
     ConvBlock,
@@ -123,6 +124,7 @@ def test_eval_step_metric_keys():
         "accuracy", "precision", "recall", "mse"}
 
 
+@pytest.mark.slow
 def test_dcgan_end_to_end_synthetic(tmp_path):
     """Full driver: 1 epoch truncated to 3 batches on synthetic data."""
     from extended_gan_tpu.train.dcgan_driver import train

@@ -133,6 +133,7 @@ def test_graft_entry_single_chip():
     assert fake.shape == (8, 64, 64, 4)
 
 
+@pytest.mark.slow
 def test_graft_entry_multichip():
     import __graft_entry__ as ge
 

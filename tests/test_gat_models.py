@@ -125,6 +125,7 @@ def test_smaat_unet_forward_odd_size():
     assert out.shape == (1, 20, 20, 4)
 
 
+@pytest.mark.slow
 def test_unet_model_vertex_folding():
     m = UnetModel(image_width=16, image_height=16, n_vertices=3,
                   kernels_per_layer=1)

@@ -15,6 +15,7 @@ def kmni_dir(tmp_path_factory):
     return str(d)
 
 
+@pytest.mark.slow
 def test_gat_train_end_to_end(kmni_dir, tmp_path):
     from extended_gan_tpu.train.gat_driver import train
 

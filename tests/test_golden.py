@@ -32,6 +32,7 @@ def kmni_dir(tmp_path_factory):
     return str(d)
 
 
+@pytest.mark.slow
 def test_golden_conv_gat_training_curve(kmni_dir):
     from extended_gan_tpu.train.gat_driver import train
 

@@ -14,6 +14,7 @@ GOLDEN_CYCLEGAN = {  # same setup
 }
 
 
+@pytest.mark.slow
 def test_golden_dcgan_curve(tmp_path):
     from extended_gan_tpu.train.dcgan_driver import train
 
@@ -29,6 +30,7 @@ def test_golden_dcgan_curve(tmp_path):
         assert abs(h[k][-1] - g) / g < 0.01, (k, h[k][-1], g)
 
 
+@pytest.mark.slow
 def test_golden_cyclegan_curve(tmp_path):
     from extended_gan_tpu.train.cyclegan_driver import train
 

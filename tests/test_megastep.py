@@ -15,6 +15,7 @@ Two tiers:
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 import optax
 
 from extended_gan_tpu.core import KeySeq
@@ -78,6 +79,7 @@ def _run_both(models, txs, states_factory, mesh, xs, ys, masks, rngs):
     return states_a, logs_a, states_b, logs_b
 
 
+@pytest.mark.slow
 def test_megastep_sequencing_strict_sgd():
     xs, ys, masks, rngs = _data()
     mesh = MeshContext.create(data=4)
@@ -94,6 +96,7 @@ def test_megastep_sequencing_strict_sgd():
         float(logs_b["errG"]), float(logs_a["errG"]), rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_megastep_adam_smoke_and_metric_sums():
     xs, ys, masks, rngs = _data(seed=1)
     mesh = MeshContext.create(data=4)

@@ -6,6 +6,7 @@ from extended_gan_tpu.utils.profiling import StepTimer, annotate
 from extended_gan_tpu.utils.term import render_image, term_display
 
 import numpy as np
+import pytest
 
 
 def test_step_timer_stats():
@@ -75,6 +76,7 @@ def test_gat_driver_profile_into_history(tmp_path):
     assert history["steps_per_sec"][0] > 0
 
 
+@pytest.mark.slow
 def test_dcgan_driver_profile_into_history(tmp_path):
     from extended_gan_tpu.train.dcgan_driver import train
 
