@@ -1,0 +1,59 @@
+"""scripts/predict.py: batch inference over a split, end-to-end."""
+
+import json
+import os
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.mark.slow
+def test_predict_cli_synthetic(tmp_path):
+    from extended_gan_tpu.train.gat_driver import train
+    from extended_gan_tpu.utils.config import load_experiment_config
+
+    exp = tmp_path / "exp_predict"
+    os.makedirs(exp)
+    (exp / "config.py").write_text(
+        'MODEL_TYPE = "temporal"\n'
+        'MAPPING_TYPE = "conv"\n'
+        'DATASET = "synthetic"\n'
+        'PREPROCESSED_FOLDER = ""\n'
+        "EPOCHS = 1\n"
+        "TRAIN_BATCH_SIZE = 8\n"
+        "TEST_BATCH_SIZE = 8\n"
+        "LEARNING_RATE = 0.001\n"
+        "LR_STEP = 1\n"
+        "GAMMA = 0.95\n"
+        "DOWNSAMPLE_SIZE = (16, 16)\n"
+    )
+    cfg = load_experiment_config(str(exp))
+    cfg.output_path = str(exp)
+    kwargs = cfg.to_dict()
+    for k in ("data_axis", "model_axis"):
+        kwargs.pop(k, None)
+    train(max_batches=2, **kwargs)
+    assert os.path.exists(exp / "model.msgpack")
+
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    try:
+        import predict
+    finally:
+        sys.path.pop(0)
+    out = str(tmp_path / "preds.npz")
+    summary = predict.main([
+        str(exp), "--dataset", "synthetic",
+        "--downsample-size", "16", "16",
+        "--batch-size", "8", "--max-batches", "3", "--out", out,
+    ])
+    assert summary["samples"] > 0
+    assert summary["samples_per_sec"] > 0
+    assert np.isfinite(summary["mse"])
+    data = np.load(out)
+    assert data["predictions"].shape == data["targets"].shape
+    assert data["predictions"].shape[1:] == (16, 16, 4, 6)
+    # summary must be JSON-clean (the CLI prints it)
+    json.dumps(summary)
