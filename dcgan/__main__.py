@@ -27,6 +27,10 @@ def main():
                         help="mesh tensor-parallel axis size (shards wide "
                              "discriminator conv kernels + Adam moments)")
     parser.add_argument("--tp-min-channels", type=int, default=256)
+    parser.add_argument("--spatial", action="store_true",
+                        help="shard the frame-height axis over the model "
+                             "axis (SP; params replicated, XLA inserts "
+                             "conv halo exchanges)")
     parser.add_argument("--profile", action="store_true",
                         help="record per-epoch step timing into the history")
     parser.add_argument("--profile-trace-dir", type=str, default="",
@@ -60,6 +64,7 @@ def main():
         data_axis=args.data_axis,
         model_axis=args.model_axis,
         tp_min_channels=args.tp_min_channels,
+        spatial=args.spatial,
         profile=args.profile,
         profile_trace_dir=args.profile_trace_dir,
     )

@@ -233,6 +233,34 @@ class MeshContext:
         )
         return out[0] if len(out) == 1 else out
 
+    def put_batch_spatial(self, *arrays: Any):
+        """SP transfer: axis 0 over DP, axis 1 (frame height) over the
+        ``model`` axis.
+
+        Spatial partitioning is the sharding for frames too large for one
+        chip's HBM (SURVEY §5 long-context): each chip holds an H-stripe
+        of every sample, and XLA's SPMD partitioner inserts the halo
+        exchanges the convolutions need at stripe boundaries — no manual
+        ppermute. Parameters stay replicated (SP and TP both spend the
+        model axis; one run uses one of them). 1-D arrays (sample masks)
+        shard over DP only.
+        """
+        sp = self.n_model
+        dp = ("dcn", "data") if "dcn" in self.mesh.axis_names else "data"
+        out = []
+        for a in arrays:
+            if getattr(a, "ndim", 0) >= 2:
+                h = a.shape[1]
+                if h % sp:
+                    raise ValueError(
+                        f"spatial axis: frame height {h} not divisible by "
+                        f"model-axis size {sp}"
+                    )
+                out.append(jax.device_put(a, self.sharding(dp, "model")))
+            else:
+                out.append(jax.device_put(a, self.sharding(dp)))
+        return out[0] if len(out) == 1 else out
+
     def put_megabatch(self, *arrays: Any):
         """Host->device transfer of K-step staged batches (K, B, ...):
         axis 0 (steps) replicated, axis 1 (batch) sharded over DP."""

@@ -86,6 +86,7 @@ def train(
     data_axis: int | None = None,
     model_axis: int = 1,
     tp_min_channels: int = 256,
+    spatial: bool = False,
     profile: bool = False,
     profile_trace_dir: str = "",
 ):
@@ -97,7 +98,10 @@ def train(
     ``data_axis``/``model_axis`` shape the device mesh: batches shard over
     ``data`` (DP); with ``model_axis > 1`` the discriminators' conv kernels
     (Cout >= tp_min_channels) and their Adam moments shard over ``model``
-    (TP) — XLA inserts the all-gathers/reduce-scatters over ICI."""
+    (TP) — XLA inserts the all-gathers/reduce-scatters over ICI. With
+    ``spatial=True`` the model axis instead shards the frame-height axis of
+    every batch (SP: params replicated, activations striped, XLA inserts
+    conv halo exchanges) — for frames too large for one chip's HBM."""
     params = {**DEFAULT_PARAMS, **(params or {})}
     if epochs is not None:
         params["nepochs"] = epochs
@@ -112,8 +116,12 @@ def train(
             h=params["imsize"], w=params["imsize"],
         )
 
+    if spatial and model_axis > 1 and tp_min_channels <= 8192:
+        # SP and TP both spend the model axis; default TP off under SP
+        tp_min_channels = 1 << 30
     mesh = MeshContext.create(data=data_axis, model=model_axis)
-    print(f"mesh: data={mesh.n_data} model={mesh.n_model}")
+    print(f"mesh: data={mesh.n_data} model={mesh.n_model}"
+          + (" (spatial)" if spatial else ""))
     print("Random Seed: ", seed)
 
     models, txs, states, keys = build_dcgan(
@@ -183,10 +191,11 @@ def train(
                 rng_keys=keys,
                 epoch=epoch,
                 profiler=profiler,
+                spatial=spatial,
             )
             test_result = test(
                 test_loader, states, eval_step, mesh, test_batch_size, epoch,
-                img_path=img_path,
+                img_path=img_path, spatial=spatial,
             )
             results = train_result | test_result
             print(json.dumps(results, indent=4))

@@ -280,17 +280,21 @@ def make_dcgan_eval_step(g_model, fd_model, td_model):
 # --------------------------------------------------------------------------
 # Host-side epoch drivers (reference API parity).
 # --------------------------------------------------------------------------
-def _feed(loader, mesh, batch_size):
-    """Yield fixed-shape sharded (x, y, mask) device batches."""
+def _feed(loader, mesh, batch_size, spatial=False):
+    """Yield fixed-shape sharded (x, y, mask) device batches.
+
+    ``spatial=True`` additionally shards the frame-height axis over the
+    mesh's ``model`` axis (SP — see MeshContext.put_batch_spatial)."""
     from ..data.streaming import Prefetcher
 
     padded = mesh.padded_batch_size(batch_size)
+    put = mesh.put_batch_spatial if spatial else mesh.put_batch
 
     def prepare(item):
         x, y = item
         x, y = to_nhwc(x), to_nhwc(y)
         x, y, mask = mesh.pad_to_batch_multiple(x, y, batch_size=padded)
-        return mesh.put_batch(x, y, mask)
+        return put(x, y, mask)
 
     return Prefetcher(iter(loader), depth=2, transfer=prepare)
 
@@ -306,6 +310,7 @@ def train_single_epoch(
     epoch: int,
     log_every: int = 50,
     profiler=None,
+    spatial: bool = False,
 ):
     """== dcgan/train.py:80-175 (one epoch of fused adversarial steps)."""
     pred_metrics = MetricsManager(("mse",), prefix="train")
@@ -320,7 +325,9 @@ def train_single_epoch(
 
     step_cm = step_context(profiler)
     pending = []
-    for i, (x, y, mask) in enumerate(_feed(dataloader, mesh, batch_size)):
+    for i, (x, y, mask) in enumerate(
+        _feed(dataloader, mesh, batch_size, spatial=spatial)
+    ):
         with step_cm():
             states, logs = step(states, x, y, mask, rng_keys.next())
         pending.append(logs)
@@ -350,6 +357,7 @@ def test(
     batch_size: int,
     epoch: int,
     img_path: str | None = None,
+    spatial: bool = False,
 ):
     """== dcgan/train.py:26-77: eval metrics + first-batch visualization."""
     fd_metrics = MetricsManager(("accuracy",), prefix="frame_disc")
@@ -358,7 +366,9 @@ def test(
         ("accuracy", "precision", "recall", "mse"), prefix="pred"
     )
     pending = []
-    for i, (x, y, mask) in enumerate(_feed(dataloader, mesh, batch_size)):
+    for i, (x, y, mask) in enumerate(
+        _feed(dataloader, mesh, batch_size, spatial=spatial)
+    ):
         fake, logs = eval_step(states, x, y, mask)
         pending.append(logs)
         if i == 0 and img_path is not None:
