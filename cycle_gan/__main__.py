@@ -32,6 +32,9 @@ def main():
                         help="mesh tensor-parallel axis size (shards wide "
                              "discriminator conv kernels + Adam moments)")
     parser.add_argument("--tp-min-channels", type=int, default=256)
+    parser.add_argument("--spatial", action="store_true",
+                        help="shard the frame-height axis over the model "
+                             "axis (SP)")
     parser.add_argument("--multihost", action="store_true",
                         help="initialize the multi-host JAX runtime "
                              "(jax.distributed) before building the mesh — "
@@ -62,6 +65,7 @@ def main():
         data_axis=args.data_axis,
         model_axis=args.model_axis,
         tp_min_channels=args.tp_min_channels,
+        spatial=args.spatial,
     )
 
 

@@ -91,11 +91,14 @@ def train(
     data_axis: int | None = None,
     model_axis: int = 1,
     tp_min_channels: int = 256,
+    spatial: bool = False,
 ):
     """``save_epoch`` > 0 checkpoints the full 4-net state (params + BN
     stats + Adam moments + PRNG stream + epoch + history) every N epochs;
     ``resume=True`` continues the run bit-exactly — the failure-recovery
-    path the reference's (broken) cycle_gan trainer never had."""
+    path the reference's (broken) cycle_gan trainer never had.
+    ``spatial=True`` stripes the frame-height axis over the model axis
+    (SP; params replicated, TP auto-disabled)."""
     data_location = data_location or DEFAULT_DATA
     if synthetic or not os.path.isdir(data_location):
         from ..data.synthetic import ensure_synthetic_coastal
@@ -112,8 +115,11 @@ def train(
 
         profiler = EpochProfiler(trace_dir=profile_trace_dir)
 
+    if spatial and model_axis > 1 and tp_min_channels <= 8192:
+        tp_min_channels = 1 << 30  # SP and TP both spend the model axis
     mesh = MeshContext.create(data=data_axis, model=model_axis)
-    print(f"mesh: data={mesh.n_data} model={mesh.n_model}")
+    print(f"mesh: data={mesh.n_data} model={mesh.n_model}"
+          + (" (spatial)" if spatial else ""))
     models, txs, states, step, eval_step, keys = build_cyclegan(
         nc=nc, ndf=ndf, imsize=imsize, lr=lr, cycle_lambda=cycle_lambda,
         precision=precision, seed=seed,
@@ -168,7 +174,7 @@ def train(
                 profiler.start_epoch()
             pending = []
             for i, (x, y, mask) in enumerate(
-                _feed(train_loader, mesh, train_batch_size)
+                _feed(train_loader, mesh, train_batch_size, spatial=spatial)
             ):
                 with step_cm():
                     states, logs = step(states, x, y, mask, keys.next())
@@ -194,7 +200,8 @@ def train(
             cycle_l1 = IncrementalTuple()
             pending = []
             first = True
-            for x, y, mask in _feed(test_loader, mesh, test_batch_size):
+            for x, y, mask in _feed(test_loader, mesh, test_batch_size,
+                                    spatial=spatial):
                 fake_y, logs = eval_step(states, x, y, mask)
                 pending.append(logs)
                 if first:

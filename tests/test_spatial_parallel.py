@@ -82,3 +82,17 @@ def test_dcgan_driver_spatial_end_to_end(tmp_path):
     )
     assert np.isfinite(hist.history["train_mse"][-1])
     assert np.isfinite(hist.history["pred_mse"][-1])
+
+
+@pytest.mark.slow
+def test_cyclegan_driver_spatial_end_to_end(tmp_path):
+    from extended_gan_tpu.train.cyclegan_driver import train
+
+    states, hist = train(
+        epochs=1, train_batch_size=8, test_batch_size=8, max_batches=2,
+        imsize=64, ndf=8, synthetic=True, seed=21,
+        out_dir=str(tmp_path / "run"),
+        data_axis=2, model_axis=4, spatial=True,
+    )
+    assert np.isfinite(hist.history["pred_mse"][-1])
+    assert np.isfinite(hist.history["cycle_l1"][-1])
