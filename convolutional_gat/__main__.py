@@ -31,6 +31,9 @@ def main():
                              "devices / model-axis)")
     parser.add_argument("--model-axis", type=int, default=1,
                         help="mesh tensor-parallel axis size")
+    parser.add_argument("--spatial", action="store_true",
+                        help="stripe the frame-width axis over the model "
+                             "axis (SP; params replicated)")
     parser.add_argument("--profile", action="store_true",
                         help="record per-epoch step timing (steps/sec, "
                              "dispatch latency) into history.json")
@@ -58,6 +61,7 @@ def main():
             epochs=args.epochs,
             learning_rate=args.learning_rate,
             lr_step=1,
+            spatial=args.spatial,
             gamma=0.95,
             dataset=args.dataset,
             preprocessed_folder=args.preprocessed_folder,

@@ -47,6 +47,7 @@ def train_single_epoch(
     loader_factory,
     max_batches: int = 0,
     profiler=None,
+    spatial: bool = False,
 ):
     """== convolutional_gat/train.py:94-155."""
     train_loader, val_loader, _test_loader = loader_factory()
@@ -65,7 +66,7 @@ def train_single_epoch(
             break
         if len(x) <= 1:
             continue
-        xd, yd, mask = _prep_gat_batch(mesh, x, y)
+        xd, yd, mask = _prep_gat_batch(mesh, x, y, spatial=spatial)
         with step_cm():
             state, logs = step(state, xd, yd, mask, keys.next())
         pending.append(logs["running_nd"])
@@ -83,7 +84,7 @@ def train_single_epoch(
     print(f"Train loss: {round(float(train_loss), 6)}")
     history["train_loss"].append(float(train_loss))
 
-    test_result = test(eval_step, state, val_loader, mesh)
+    test_result = test(eval_step, state, val_loader, mesh, spatial=spatial)
     new_lr = scheduler.step(test_result["val_loss"])
     set_learning_rate(state.opt_state, new_lr)
     print(json.dumps(test_result, indent=4))
@@ -135,6 +136,7 @@ def train(
     data_axis: int | None = None,
     model_axis: int = 1,
     tp_min_channels: int = 256,
+    spatial: bool = False,
     profile: bool = False,
     profile_trace_dir: str = "",
     **_ignored,
@@ -144,7 +146,11 @@ def train(
     ``data_axis``/``model_axis`` (config keys DATA_AXIS / MODEL_AXIS) shape
     the device mesh: batch DP over ``data``; with ``model_axis > 1`` wide
     conv kernels (>= tp_min_channels output channels — the SmaAt-UNet
-    mapping/model paths) and their Adam moments shard over ``model``."""
+    mapping/model paths) and their Adam moments shard over ``model``.
+    ``spatial=True`` (config key SPATIAL) instead stripes the frame-width
+    axis of every batch over the model axis (SP; params replicated)."""
+    if spatial and model_axis > 1 and tp_min_channels <= 8192:
+        tp_min_channels = 1 << 30  # SP and TP both spend the model axis
     mesh = MeshContext.create(data=data_axis, model=model_axis)
     keys = KeySeq(seed)
     dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
@@ -267,7 +273,7 @@ def train(
                 epoch=epoch, step=step, eval_step=eval_step, state=state,
                 scheduler=scheduler, mesh=mesh, keys=keys, history=history,
                 output_path=output_path, loader_factory=loader_factory,
-                max_batches=max_batches, profiler=profiler,
+                max_batches=max_batches, profiler=profiler, spatial=spatial,
             )
             if output_path:
                 _, viz_loader, _ = loader_factory(2, 2)

@@ -120,16 +120,18 @@ def make_gat_eval_step(model):
     return eval_step
 
 
-def _prep_gat_batch(mesh, x, y):
+def _prep_gat_batch(mesh, x, y, spatial=False):
     padded = mesh.padded_batch_size(len(x))
     x, y, mask = mesh.pad_to_batch_multiple(
         np.asarray(x, np.float32), np.asarray(y, np.float32),
         batch_size=padded,
     )
-    return mesh.put_batch(x, y, mask)
+    put = mesh.put_batch_spatial if spatial else mesh.put_batch
+    return put(x, y, mask)
 
 
-def test(eval_step, state, loader, mesh, *, flag: str = "val"):
+def test(eval_step, state, loader, mesh, *, flag: str = "val",
+         spatial: bool = False):
     """Validation-set evaluation == convolutional_gat/train.py:28-91."""
     running_loss = running_acc = running_prec = running_rec = 0.0
     running_denorm = 0.0
@@ -143,7 +145,7 @@ def test(eval_step, state, loader, mesh, *, flag: str = "val"):
         y_p = np.asarray(y, np.float32) ** (1.0 / power)
         unique = np.unique(y_p)
         threshold = float(unique[int(len(unique) * 0.5)])  # :60-61
-        xd, yd, mask = _prep_gat_batch(mesh, x, y)
+        xd, yd, mask = _prep_gat_batch(mesh, x, y, spatial=spatial)
         out = eval_step(state, xd, yd, mask, threshold, norm_max,
                         power=power)
         pending.append({k: v for k, v in out.items() if k != "y_hat"})

@@ -96,3 +96,41 @@ def test_cyclegan_driver_spatial_end_to_end(tmp_path):
     )
     assert np.isfinite(hist.history["pred_mse"][-1])
     assert np.isfinite(hist.history["cycle_l1"][-1])
+
+
+def test_gat_sp_matches_single_device():
+    """conv-GAT fused step: DP2 x SP4 == single device."""
+    import jax.numpy as jnp
+
+    from extended_gan_tpu.models.gat.gat3d import Model
+    from extended_gan_tpu.train.gat_trainer import (
+        _prep_gat_batch,
+        make_gat_train_step,
+    )
+    from extended_gan_tpu.train.optim import make_optimizer
+    from extended_gan_tpu.train.state import create_net_state
+
+    def run(mesh, spatial):
+        model = Model(image_width=16, image_height=16, n_vertices=6,
+                      attention_type="temporal", mapping_type="conv")
+        tx = make_optimizer("adam", 1e-3, weight_decay=0.01)
+        state = create_net_state(
+            model, tx, jax.random.PRNGKey(2),
+            jnp.zeros((2, 16, 16, 4, 6), jnp.float32))
+        state = mesh.put_replicated(state)
+        step = make_gat_train_step(model, tx)
+        rng = np.random.RandomState(4)
+        x = rng.rand(8, 16, 16, 4, 6).astype(np.float32)
+        y = rng.rand(8, 16, 16, 4, 6).astype(np.float32)
+        xd, yd, mask = _prep_gat_batch(mesh, x, y, spatial=spatial)
+        state, logs = step(state, xd, yd, mask, jax.random.PRNGKey(9))
+        return state, logs
+
+    s1, l1 = run(MeshContext.create(data=1), spatial=False)
+    s_sp, l_sp = run(MeshContext.create(data=2, model=4), spatial=True)
+    np.testing.assert_allclose(
+        float(l1["running_nd"][0]), float(l_sp["running_nd"][0]),
+        rtol=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s_sp.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
