@@ -17,7 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core import KeySeq
-from ..data.streaming import Prefetcher, get_coastal_loaders
+from ..data.streaming import get_coastal_loaders
 from ..models.dcgan import FrameDiscriminator, Generator
 from ..parallel import MeshContext
 from ..utils.history import TrainingHistory
@@ -27,7 +27,7 @@ from .cyclegan_trainer import (
     make_cyclegan_eval_step,
     make_cyclegan_train_step,
 )
-from .dcgan_trainer import _feed, to_nhwc
+from .dcgan_trainer import _feed
 from .optim import adam
 from .state import create_net_state
 

@@ -27,7 +27,6 @@ from __future__ import annotations
 
 import functools
 import json
-import os
 from typing import Callable
 
 import flax.struct
