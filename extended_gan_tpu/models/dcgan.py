@@ -156,7 +156,9 @@ class TemporalDiscriminator(nn.Module):
             1, 4, stride=4, padding=0, use_bias=False, batchnorm=False,
             act="sigmoid", dropout=self.dropout, dtype=self.dtype,
         )(x, train=train)
-        return x.astype(jnp.float32).squeeze()
+        # squeeze only the singleton map axes: a bare .squeeze() (as in the
+        # reference, dcgan/model.py) collapses the batch axis too at B=1
+        return x.astype(jnp.float32).squeeze(axis=(1, 2, 3))
 
 
 class FrameDiscriminator(nn.Module):
@@ -191,4 +193,4 @@ class FrameDiscriminator(nn.Module):
         x = leaky_relu_02(bn(self._conv(ndf * 4, 4, 2, 1, x)))
         x = leaky_relu_02(bn(self._conv(ndf * 8, 4, 2, 1, x)))
         x = nn.sigmoid(self._conv(1, 4, 1, 0, x).astype(jnp.float32))
-        return x.squeeze()
+        return x.squeeze(axis=(1, 2, 3))

@@ -160,9 +160,30 @@ class CBAM(nn.Module):
 
 
 def _resize(x, new_h, new_w):
-    return jax.image.resize(
-        x, (x.shape[0], new_h, new_w, x.shape[3]), method="bilinear"
-    )
+    """Bilinear upsample with ``align_corners=True`` semantics.
+
+    The published SmaAt-UNet upsamples with
+    ``nn.Upsample(scale_factor=2, mode="bilinear", align_corners=True)``;
+    ``jax.image.resize`` implements only half-pixel (align_corners=False)
+    sampling, which shifts every non-center pixel — worst at the small
+    bottleneck maps. Sample positions here are ``i * (n_in-1)/(n_out-1)``,
+    matching torch exactly (tests/test_torch_parity.py pins it)."""
+
+    def interp(a, axis, new):
+        n = a.shape[axis]
+        if new == n or n == 1:
+            return jnp.repeat(a, new, axis=axis) if n == 1 else a
+        u = jnp.linspace(0.0, n - 1.0, new, dtype=jnp.float32)
+        i0 = jnp.clip(jnp.floor(u).astype(jnp.int32), 0, n - 2)
+        w = (u - i0.astype(jnp.float32)).astype(a.dtype)
+        lo = jnp.take(a, i0, axis=axis)
+        hi = jnp.take(a, i0 + 1, axis=axis)
+        shape = [1] * a.ndim
+        shape[axis] = new
+        w = w.reshape(shape)
+        return lo * (1 - w) + hi * w
+
+    return interp(interp(x, 1, new_h), 2, new_w)
 
 
 class DownDS(nn.Module):

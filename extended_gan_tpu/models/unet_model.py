@@ -32,13 +32,14 @@ class _UNetShim(nn.Module):
     kernels_per_layer: int
     train: bool
     dtype: Any
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x):
         return SmaAt_UNet(
             n_channels=self.time_steps, n_classes=self.time_steps,
             kernels_per_layer=self.kernels_per_layer, dtype=self.dtype,
-            name="unet",
+            use_pallas=self.use_pallas, name="unet",
         )(x, train=self.train)
 
 
@@ -59,6 +60,7 @@ class UnetModel(nn.Module):
     time_steps: int = 4
     kernels_per_layer: int = 2     # matches the reference's 4,032,548 params
     per_vertex_bn: bool = False
+    use_pallas: bool = False       # fused Pallas DSC kernels in the UNet
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -76,13 +78,14 @@ class UnetModel(nn.Module):
             y = VU(
                 time_steps=self.time_steps,
                 kernels_per_layer=self.kernels_per_layer,
-                train=train, dtype=self.dtype, name="shared",
+                train=train, dtype=self.dtype,
+                use_pallas=self.use_pallas, name="shared",
             )(xv)
             return y.transpose(1, 2, 3, 4, 0)
         xb = x.transpose(0, 4, 1, 2, 3).reshape(b * v, h, w, t)
         y = SmaAt_UNet(
             n_channels=self.time_steps, n_classes=self.time_steps,
             kernels_per_layer=self.kernels_per_layer, dtype=self.dtype,
-            name="unet",
+            use_pallas=self.use_pallas, name="unet",
         )(xb, train=train)
         return y.reshape(b, v, h, w, t).transpose(0, 2, 3, 4, 1)

@@ -20,7 +20,20 @@ from typing import Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
+from ..ops.initializers import torch_bias_init, torch_kernel_init
 from ..ops.norm import TorchBatchNorm
+
+
+def _torch_dense(x, width, dtype):
+    """nn.Dense initialized like torch nn.Linear — kaiming_uniform(a=sqrt(5))
+    kernels, U(-1/sqrt(fan_in), ..) biases — the distributions the reference
+    actually trains from (its weights_init is a silent no-op; see
+    ops/initializers.py)."""
+    return nn.Dense(
+        width, dtype=dtype,
+        kernel_init=torch_kernel_init,
+        bias_init=torch_bias_init(x.shape[-1]),
+    )(x)
 
 
 class MLPGenerator(nn.Module):
@@ -34,7 +47,7 @@ class MLPGenerator(nn.Module):
     def __call__(self, z, *, train: bool = True):
         x = z.astype(self.dtype)
         for i, width in enumerate(self.widths):
-            x = nn.Dense(width, dtype=self.dtype)(x)
+            x = _torch_dense(x, width, self.dtype)
             if i > 0:  # first block is not normalized (reference :69)
                 x = TorchBatchNorm(
                     use_running_average=not train,
@@ -47,7 +60,7 @@ class MLPGenerator(nn.Module):
         out_dim = 1
         for d in self.img_shape:
             out_dim *= d
-        x = nn.Dense(out_dim, dtype=self.dtype)(x)
+        x = _torch_dense(x, out_dim, self.dtype)
         x = jnp.tanh(x.astype(jnp.float32))
         return x.reshape((x.shape[0], *self.img_shape))
 
@@ -61,7 +74,7 @@ class MLPDiscriminator(nn.Module):
     def __call__(self, img, *, train: bool = True):
         x = img.reshape((img.shape[0], -1)).astype(self.dtype)
         for width in self.widths:
-            x = nn.Dense(width, dtype=self.dtype)(x)
+            x = _torch_dense(x, width, self.dtype)
             x = nn.leaky_relu(x, negative_slope=0.2)
-        x = nn.Dense(1, dtype=self.dtype)(x)
+        x = _torch_dense(x, 1, self.dtype)
         return nn.sigmoid(x.astype(jnp.float32))

@@ -267,16 +267,30 @@ def _pallas_forward_tiled(x, dw_kernel, dw_bias, pw_kernel, pw_bias, *,
     )(xp, dw_split, dwb_split, pw_split, pwb)
 
 
+def _pad_tile(minor: int, second_minor: int) -> int:
+    """Elements Mosaic actually allocates for a (second_minor, minor)
+    trailing pair: the minormost dim pads to 128 lanes, the
+    second-minormost to 8 sublanes (f32 tiling)."""
+    return (-(-minor // 128) * 128) * (-(-second_minor // 8) * 8)
+
+
 def _fits_vmem(x, dw_kernel, pw_kernel) -> bool:
+    # Count PADDED footprints, not logical elements: a narrow channel dim
+    # (e.g. c=4) pads to 128 lanes, so the real VMEM cost can be ~30x the
+    # logical one — the logical estimate let such inputs through and then
+    # failed at Mosaic allocation instead of falling back gracefully.
     hp, wp, c = x.shape[1] + 2, x.shape[2] + 2, x.shape[3]
     ckpl = dw_kernel.shape[-1]
     kpl = ckpl // c
     cout = pw_kernel.shape[-1]
     h, w = hp - 2, wp - 2
     per_image = 4 * (
-        hp * wp * c * (1 + kpl) + h * w * (ckpl + cout)
+        hp * _pad_tile(c, wp)               # padded input
+        + hp * _pad_tile(c * kpl, wp)       # replicated input
+        + h * _pad_tile(ckpl, w)            # depthwise accumulator
+        + h * _pad_tile(cout, w)            # output
     )
-    return per_image + 4 * ckpl * cout < _VMEM_LIMIT_BYTES
+    return per_image + 4 * _pad_tile(cout, ckpl) < _VMEM_LIMIT_BYTES
 
 
 def _fused_dsconv_impl(x, dw_kernel, dw_bias, pw_kernel, pw_bias):

@@ -137,6 +137,7 @@ def train(
     model_axis: int = 1,
     tp_min_channels: int = 256,
     spatial: bool = False,
+    use_pallas: bool = False,
     profile: bool = False,
     profile_trace_dir: str = "",
     **_ignored,
@@ -148,7 +149,9 @@ def train(
     conv kernels (>= tp_min_channels output channels — the SmaAt-UNet
     mapping/model paths) and their Adam moments shard over ``model``.
     ``spatial=True`` (config key SPATIAL) instead stripes the frame-width
-    axis of every batch over the model axis (SP; params replicated)."""
+    axis of every batch over the model axis (SP; params replicated).
+    ``use_pallas=True`` (config key USE_PALLAS) opts into the fused Pallas
+    kernels (GAT attention; SmaAt-UNet DSC)."""
     if spatial and model_axis > 1 and tp_min_channels <= 8192:
         tp_min_channels = 1 << 30  # SP and TP both spend the model axis
     mesh = MeshContext.create(data=data_axis, model=model_axis)
@@ -187,6 +190,7 @@ def train(
         mapping_type=mapping_type,
         time_steps=steps,
         dtype=dtype,
+        use_pallas=use_pallas,
     )
     tx = make_optimizer(optimizer, learning_rate,
                         weight_decay=weight_decay)

@@ -141,3 +141,25 @@ def test_dcgan_end_to_end_synthetic(tmp_path):
 
     assert os.path.exists(tmp_path / "imgs" / "pred.png")
     assert os.path.exists(tmp_path / "training_plots" / "mse.png")
+
+
+def test_discriminators_keep_batch_axis_at_b1():
+    """Bare .squeeze() (the reference's idiom) collapses (1,1,1,1) to a
+    0-d scalar; the discriminators must return shape (B,) even at B=1."""
+    import jax
+
+    from extended_gan_tpu.models.dcgan import (
+        FrameDiscriminator,
+        TemporalDiscriminator,
+    )
+
+    fd = FrameDiscriminator(nc=4, ndf=8)
+    td = TemporalDiscriminator(nc=4, ndf=8)
+    y = np.zeros((1, 64, 64, 4), np.float32)
+    xy = np.zeros((1, 64, 64, 8), np.float32)
+    pf, _ = fd.init_with_output(jax.random.PRNGKey(0), y, train=False)
+    pt, _ = td.init_with_output(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        xy, train=False)
+    assert pf.shape == (1,)
+    assert pt.shape == (1,)

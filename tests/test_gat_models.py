@@ -141,3 +141,20 @@ def test_registry_covers_reference_model_classes():
     m = build_model("temporal", image_width=8, image_height=8,
                     n_vertices=6, mapping_type="linear")
     assert m.mapping_type == "linear"
+
+
+def test_registry_threads_use_pallas():
+    """USE_PALLAS config key reaches the model (round-2 review: the fused
+    kernels were unreachable from the production build path)."""
+    from extended_gan_tpu.models.registry import build_model
+
+    m = build_model("temporal", image_width=8, image_height=8, n_vertices=6,
+                    mapping_type="conv", use_pallas=True)
+    assert m.use_pallas is True
+    u = build_model("unet", image_width=8, image_height=8, n_vertices=6,
+                    mapping_type="conv", use_pallas=True)
+    assert u.use_pallas is True
+    # models without a Pallas path ignore the flag instead of raising
+    b = build_model("baseline", image_width=8, image_height=8, n_vertices=6,
+                    mapping_type="linear", use_pallas=True)
+    assert b is not None

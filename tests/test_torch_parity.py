@@ -176,3 +176,22 @@ def test_gat_layer_matches_naive_reference_math():
     hp = np.einsum("nuv,nve->nue", att, Wh)
     expected = np.where(hp > 0, hp, np.expm1(hp))
     np.testing.assert_allclose(out, expected, rtol=2e-4, atol=2e-5)
+
+
+def test_bilinear_upsample_matches_torch_align_corners():
+    """SmaAt-UNet's decoder upsampling must match the published
+    nn.Upsample(scale_factor=2, mode="bilinear", align_corners=True)."""
+    import numpy as np
+    import torch
+
+    from extended_gan_tpu.models.smaat_unet import _resize
+
+    rng = np.random.default_rng(0)
+    for h, w in ((4, 4), (5, 7), (10, 10)):
+        x = rng.random((2, h, w, 3), dtype=np.float32)
+        got = np.asarray(_resize(x, 2 * h, 2 * w))
+        ref = torch.nn.functional.interpolate(
+            torch.from_numpy(x).permute(0, 3, 1, 2),
+            scale_factor=2, mode="bilinear", align_corners=True,
+        ).permute(0, 2, 3, 1).numpy()
+        np.testing.assert_allclose(got, ref, atol=1e-6)

@@ -96,3 +96,23 @@ def test_cli_smoke(tmp_path):
     import os
 
     assert os.path.exists(tmp_path / "0.png")
+
+
+def test_mlp_layers_use_torch_default_init():
+    """MLP G/D kernels/biases follow torch nn.Linear defaults —
+    U(-1/sqrt(fan_in), 1/sqrt(fan_in)) — not flax's lecun_normal/zeros
+    (round-2 review: parity gap in training dynamics)."""
+    import jax
+    import numpy as np
+
+    from extended_gan_tpu.models.vanilla_gan import MLPDiscriminator
+
+    d = MLPDiscriminator(img_shape=(1, 8, 8))
+    variables = d.init(jax.random.PRNGKey(0), np.zeros((2, 1, 8, 8)))
+    k0 = np.asarray(variables["params"]["Dense_0"]["kernel"])
+    b0 = np.asarray(variables["params"]["Dense_0"]["bias"])
+    bound = 1.0 / np.sqrt(k0.shape[0])
+    assert abs(k0).max() <= bound + 1e-6
+    assert abs(k0).max() > 0.8 * bound     # actually uniform, not normal
+    assert abs(b0).max() <= bound + 1e-6
+    assert abs(b0).max() > 0.0             # not flax's zeros
