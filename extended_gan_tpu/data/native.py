@@ -167,6 +167,12 @@ def kmni_make_batch_merged(
     video = np.ascontiguousarray(video, np.float32)
     starts = np.ascontiguousarray(starts, np.int64)
     t, v, h, w = video.shape
+    if v < 4:
+        # the mosaic reads vertex pairs up to index 3; the C kernel would
+        # read out of bounds (the numpy fallback merely raises IndexError)
+        raise ValueError(
+            f"merge_nodes needs >= 4 vertices for the 2x3 mosaic, got {v}"
+        )
     ch = cw = crop if crop is not None else h
     ch, cw = min(ch, h), min(cw, w)
     n = len(starts)
@@ -213,3 +219,23 @@ def window_gather(frames: np.ndarray, starts: np.ndarray, window: int):
         return out
     idx = starts[:, None] + np.arange(window)[None, :]
     return np.ascontiguousarray(frames[idx])
+
+
+def minmax_normalize(data: np.ndarray) -> np.ndarray:
+    """(x - min) / (max - min) over the whole array, as float32.
+
+    Native in-place threaded loop when the core is built (used by the
+    coastal-sea preprocessor on multi-GB NetCDF dumps); numpy fallback
+    otherwise. Constant arrays (max == min) return zeros like the numpy
+    expression would return NaN — callers prefer the defined result.
+    """
+    lo = float(np.min(data))
+    hi = float(np.max(data))
+    if hi == lo:
+        return np.zeros_like(data, dtype=np.float32)
+    out = np.ascontiguousarray(data, np.float32).copy()
+    lib = get_lib()
+    if lib is not None:
+        lib.minmax_normalize(out, out.size, np.float32(lo), np.float32(hi))
+        return out
+    return (out - lo) / (hi - lo)

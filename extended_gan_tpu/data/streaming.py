@@ -100,14 +100,14 @@ class CoastalSeaLoader(_FileStream):
         return sliding_windows(data, 2 * self.seq_len)
 
     def __next__(self):
-        if self.remainder.shape[0] == 0:
+        data = self.remainder
+        while data.shape[0] == 0:
+            # a file too short for one window contributes nothing — keep
+            # reading instead of ending the epoch (read_next_file raises
+            # StopIteration once the folder is exhausted)
             data = self._segmentify(self.read_next_file())
-        else:
-            data = self.remainder
         self.remainder = data[self.batch_size :]
         result = data[: self.batch_size]
-        if len(result) == 0:
-            raise StopIteration
         idx = self.perm(result.shape[0])
         x = result[idx, : self.seq_len].astype(np.float32)
         y = result[idx, self.seq_len :].astype(np.float32)
@@ -155,14 +155,21 @@ class H5SequenceLoader(_FileStream):
         return data
 
     def __next__(self):
-        if self.remainder.shape[0] == 0:
+        data = self.remainder
+        while True:
+            windows = (
+                sliding_windows(data, self.tot_seq_len)[: self.batch_size]
+                if len(data)
+                else data
+            )
+            if len(windows):
+                break
+            # buffer empty or too short for one window: replace it with the
+            # next file (the reference re-reads on a short buffer too,
+            # dcgan/data_loader.py:58-63); StopIteration propagates from
+            # read_next_file only when the folder is exhausted
             data = self._segmentify(self.read_next_file())
-        else:
-            data = self.remainder
         self.remainder = data[self.batch_size :]
-        windows = sliding_windows(data, self.tot_seq_len)[: self.batch_size]
-        if len(windows) == 0:
-            raise StopIteration
         idx = self.perm(windows.shape[0])
         x = windows[idx, : self.in_seq_len].astype(np.float32)
         y = windows[idx, self.in_seq_len :].astype(np.float32)
@@ -269,12 +276,20 @@ class KmniLoader(_FileStream):
         pool = max(int(self.shuffle_pool), 0) or len(self.files) or 1
         chunks = []
         for i in range(0, len(file_ids), pool):
-            pairs = [
-                (fi, s)
-                for fi in file_ids[i : i + pool]
-                for s in range(counts[fi])
-            ]
-            block = np.asarray(pairs, np.int64).reshape(-1, 2)
+            ids = np.asarray(file_ids[i : i + pool], np.int64)
+            cnts = np.asarray([counts[fi] for fi in ids], np.int64)
+            # vectorized (fi, start) pairs: the tuple-list version built
+            # one Python tuple per window — gigabytes of transients at
+            # archive scale when shuffle_pool=0 makes one giant pool
+            block = np.stack(
+                [
+                    np.repeat(ids, cnts),
+                    np.concatenate(
+                        [np.arange(c, dtype=np.int64) for c in cnts]
+                    ) if len(cnts) else np.empty(0, np.int64),
+                ],
+                axis=1,
+            )
             if self.shuffle and len(block):
                 block = block[self._rng.permutation(len(block))]
             chunks.append(block)
@@ -335,7 +350,11 @@ class KmniLoader(_FileStream):
         data = (data.astype(np.float32) / self.normalizing_max) ** self.power
         segments = sliding_windows(data, w)  # (n, 8, V, H, W)
         if segments.shape[0] == 0:
-            return np.empty((2, 0) + segments.shape[2:], np.float32)
+            # rank must match the real (2, n, T, V, H, W) output — a 5-D
+            # sentinel crashed __next__'s 6-axis transpose on short files
+            return np.empty(
+                (2, 0, self.time_steps) + segments.shape[2:], np.float32
+            )
         # (n, 2, 4, V, H, W) -> (2, n, 4, V, H, W)
         split = np.stack(
             [segments[:, : self.time_steps], segments[:, self.time_steps :]],
@@ -361,10 +380,10 @@ class KmniLoader(_FileStream):
             return self._next_global()
         if self.use_native:
             return self._next_native()
-        if self.remainder.shape[1] == 0:
+        data = self.remainder
+        while data.shape[1] == 0:
+            # short files yield zero windows — skip them, don't end the epoch
             data = self._segmentify(self.read_next_file())
-        else:
-            data = self.remainder
         self.remainder = data[:, self.batch_size :]
         result = data[:, : self.batch_size]
         idx = self.perm(result.shape[1])
@@ -431,14 +450,31 @@ class AraiLoader:
         self.use_native = use_native
         self.power = 1.0
         self.normalizing_max = 1.0
-        self.files = sorted(os.listdir(folder), key=lambda x: int(x.split(".")[0]))
+        # numeric block files only — a stray .DS_Store/README must not
+        # crash construction
+        self.files = sorted(
+            (f for f in os.listdir(folder) if f.split(".")[0].isdigit()),
+            key=lambda x: int(x.split(".")[0]),
+        )
         self._queue: queue.Queue = queue.Queue(maxsize=2)
         self._thread = threading.Thread(target=self._producer, daemon=True)
         self._thread.start()
 
     def __len__(self):
-        tot = self.total_length - (self.time_steps - 1) * (len(self.files) + 1)
-        return tot // self.batch_size
+        """Exact batch count: per file ceil((frames - 2T + 1)/batch) —
+        batches do not span files and the last one per file is partial.
+        Header-only frame counts; computed lazily and cached."""
+        if not hasattr(self, "_len"):
+            from .io import array_n_frames
+
+            w = 2 * self.time_steps
+            total = 0
+            for fname in self.files:
+                n = array_n_frames(os.path.join(self.folder, fname))
+                nw = max(n - w + 1, 0)
+                total += -(-nw // self.batch_size)
+            self._len = total
+        return self._len
 
     def _produce_native(self, data: np.ndarray):
         """(N, R, 1, H, W) block -> batches via the fused C++ gather: the

@@ -33,8 +33,10 @@ def preprocess(
     for file_name in file_names:
         raw = _read_thetao(file_name)
         sub = raw[:, 0, 20:, :65]
-        normalized = (sub - sub.min()) / (sub.max() - sub.min())
-        acc.append(normalized.astype(np.float32))
+        # threaded in-place native path on multi-GB dumps; numpy fallback
+        from ..data.native import minmax_normalize
+
+        acc.append(minmax_normalize(sub))
     result = np.stack(acc, axis=1)  # (T, n_vars, H, W)
     save_array(out_path, result)
     return result

@@ -50,7 +50,7 @@ def train_single_epoch(
     spatial: bool = False,
 ):
     """== convolutional_gat/train.py:94-155."""
-    train_loader, val_loader, _test_loader = loader_factory()
+    train_loader, val_loader, _test_loader = loader_factory(epoch=epoch)
     print(f"\nEpoch: {epoch}")
     print(f"LR: {scheduler.current()}")
     running_loss = 0.0
@@ -169,11 +169,14 @@ def train(
         preprocessed_folder = ""
 
     def loader_factory(train_bs=train_batch_size, test_bs=test_batch_size,
-                       shuffle=True):
+                       shuffle=True, epoch=0):
+        # seed + epoch: the reference's fresh per-epoch loaders advance the
+        # global torch RNG, so every epoch sees a new order; a constant
+        # seed here would replay the identical batch sequence every epoch
         return get_loaders(
             train_bs, test_bs, preprocessed_folder, None,
             dataset=dataset, downsample_size=downsample_size,
-            merge_nodes=False, shuffle=shuffle, seed=seed,
+            merge_nodes=False, shuffle=shuffle, seed=seed + epoch,
             shuffle_mode=shuffle_mode,
         )
 

@@ -72,20 +72,30 @@ def _literal_env(path: str) -> dict[str, Any]:
         tree = ast.parse(f.read(), filename=path)
     out: dict[str, Any] = {}
     for node in tree.body:
+        # NAME = <literal> and the annotated form NAME: int = <literal>
         if isinstance(node, ast.Assign) and len(node.targets) == 1:
-            target = node.targets[0]
-            if isinstance(target, ast.Name) and target.id.isupper():
-                try:
-                    out[target.id] = ast.literal_eval(node.value)
-                except ValueError:
-                    # Named constants like OPTIMIZER = torch.optim.Adam in
-                    # legacy configs: keep the dotted name's last part.
-                    if isinstance(node.value, ast.Attribute):
-                        out[target.id] = node.value.attr.lower()
-                    elif isinstance(node.value, ast.Call):
-                        fn = node.value.func
-                        name = fn.attr if isinstance(fn, ast.Attribute) else getattr(fn, "id", "")
-                        out[target.id] = name.replace("Loss", "").lower()
+            target, value = node.targets[0], node.value
+        elif isinstance(node, ast.AnnAssign) and node.value is not None:
+            target, value = node.target, node.value
+        else:
+            continue
+        if isinstance(target, ast.Name) and target.id.isupper():
+            try:
+                out[target.id] = ast.literal_eval(value)
+            except ValueError:
+                # Named constants like OPTIMIZER = torch.optim.Adam in
+                # legacy configs: keep the dotted name's last part.
+                if isinstance(value, ast.Attribute):
+                    out[target.id] = value.attr.lower()
+                elif isinstance(value, ast.Call):
+                    fn = value.func
+                    name = fn.attr if isinstance(fn, ast.Attribute) else getattr(fn, "id", "")
+                    out[target.id] = name.replace("Loss", "").lower()
+                else:
+                    # a dropped UPPER key silently falling back to the
+                    # dataclass default is exactly what a user won't notice
+                    print(f"[config] could not parse {target.id} in "
+                          f"{path}; using the default")
     return out
 
 

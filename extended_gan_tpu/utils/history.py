@@ -13,7 +13,11 @@ import os
 
 import matplotlib
 
-matplotlib.use("Agg")
+# Headless boxes need the non-GUI backend, but a notebook/interactive
+# session that imports this package for the metrics should keep whatever
+# backend it already configured — only force Agg when nothing else chose.
+if not os.environ.get("DISPLAY") and not os.environ.get("MPLBACKEND"):
+    matplotlib.use("Agg")
 import matplotlib.pyplot as plt
 
 

@@ -179,3 +179,103 @@ def test_arai_native_matches_numpy_path(tmp_path):
         assert xn.shape[1:] == (10, 12, 4, 3)
         n += 1
     assert n > 0
+
+
+def test_coastal_loader_skips_short_files(tmp_path):
+    """A file too short for one window must be skipped, not end the epoch
+    (round-2 review: the first short file silently dropped all later
+    files)."""
+    from extended_gan_tpu.data.io import save_array
+    from extended_gan_tpu.data.streaming import CoastalSeaLoader
+
+    rng = np.random.RandomState(0)
+    # sorted order: a(long), b(short), c(long)
+    save_array(str(tmp_path / "a.pt"),
+               rng.rand(19, 1, 8, 8).astype(np.float32))
+    save_array(str(tmp_path / "b.pt"),
+               rng.rand(5, 1, 8, 8).astype(np.float32))
+    save_array(str(tmp_path / "c.pt"),
+               rng.rand(19, 1, 8, 8).astype(np.float32))
+    loader = CoastalSeaLoader(str(tmp_path), 64, crop=8, shuffle=False,
+                              seq_len=4)
+    n = sum(len(x) for x, _y in loader)
+    assert n == 24, n  # 12 windows from a.pt + 12 from c.pt, none dropped
+
+
+def test_h5_loader_continues_past_short_file(tmp_path):
+    import h5py
+
+    from extended_gan_tpu.data.streaming import H5SequenceLoader
+
+    rng = np.random.RandomState(1)
+    for name, frames in (("a.h5", 16), ("b.h5", 5), ("c.h5", 16)):
+        with h5py.File(str(tmp_path / name), "w") as f:
+            f["default"] = rng.rand(frames, 1, 8, 8).astype(np.float32)
+    loader = H5SequenceLoader(str(tmp_path), 64, crop=8,
+                              shuffle=False, in_seq_len=4, out_seq_len=4)
+    n = sum(len(x) for x, _y in loader)
+    # 16-frame files (truncated to 16) give 9 windows each; b.h5 gives 0
+    assert n == 18, n
+
+
+def test_kmni_python_path_skips_short_files(tmp_path):
+    """The non-native KmniLoader path crashed (5-D sentinel into a 6-axis
+    transpose) on a short file; now it skips it like the native path."""
+    from extended_gan_tpu.data.io import save_array
+    from extended_gan_tpu.data.streaming import KmniLoader
+
+    rng = np.random.RandomState(2)
+    d = tmp_path / "train"
+    d.mkdir()
+    save_array(str(d / "a.pt"),
+               (rng.rand(16, 6, 8, 8) * 254).astype(np.float32))
+    save_array(str(d / "b.pt"),
+               (rng.rand(4, 6, 8, 8) * 254).astype(np.float32))
+    save_array(str(d / "c.pt"),
+               (rng.rand(16, 6, 8, 8) * 254).astype(np.float32))
+    loader = KmniLoader(64, str(d), shuffle=False, crop=8, use_native=False)
+    n = sum(len(x) for x, _y in loader)
+    assert n == 18, n  # 9 + 0 + 9 windows
+
+
+def test_arai_len_matches_iteration(tmp_path):
+    from extended_gan_tpu.data.io import save_array
+    from extended_gan_tpu.data.streaming import AraiLoader
+
+    rng = np.random.RandomState(3)
+    d = tmp_path / "training"
+    d.mkdir()
+    for i, frames in enumerate((24, 13)):
+        save_array(str(d / f"{i}.pt"),
+                   rng.rand(frames, 5, 1, 8, 8).astype(np.float32))
+    (d / "README.md").write_text("stray file must not crash construction")
+    loader = AraiLoader(4, str(d), total_length=37, n_regions=5,
+                        time_steps=4, downsample_size=(8, 8))
+    batches = sum(1 for _ in loader)
+    # file0: 17 windows -> 5 batches; file1: 6 windows -> 2 batches
+    assert batches == 7
+    assert len(loader) == 7
+
+
+def test_merge_nodes_rejects_too_few_vertices():
+    import pytest
+
+    from extended_gan_tpu.data.native import kmni_make_batch_merged
+
+    video = np.zeros((10, 3, 8, 8), np.float32)
+    with pytest.raises(ValueError, match="4 vertices"):
+        kmni_make_batch_merged(video, np.zeros(1, np.int64), steps=4)
+
+
+def test_native_minmax_normalize_matches_numpy():
+    from extended_gan_tpu.data.native import minmax_normalize
+
+    rng = np.random.RandomState(4)
+    a = (rng.rand(3, 50, 40) * 100 - 30).astype(np.float64)
+    got = minmax_normalize(a)
+    want = ((a - a.min()) / (a.max() - a.min())).astype(np.float32)
+    np.testing.assert_allclose(got, want, atol=1e-6)
+    assert got.dtype == np.float32
+    # constant input: defined zeros, not NaN
+    z = minmax_normalize(np.full((4, 4), 7.0))
+    assert not np.isnan(z).any() and (z == 0).all()

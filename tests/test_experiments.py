@@ -138,3 +138,22 @@ def test_graft_entry_multichip():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
+
+
+def test_config_annotated_assignments_parse(tmp_path):
+    """EPOCHS: int = 50 (annotated form) must parse, not silently fall
+    back to the default (round-2 review)."""
+    d = tmp_path / "exp"
+    d.mkdir()
+    (d / "config.py").write_text(
+        "MODEL_TYPE: str = 'temporal'\n"
+        "EPOCHS: int = 50\n"
+        "LEARNING_RATE = 0.002\n"
+        "UNPARSEABLE = SOME_NAME\n"   # dropped with a printed note
+    )
+    from extended_gan_tpu.utils.config import load_experiment_config
+
+    cfg = load_experiment_config(str(d))
+    assert cfg.epochs == 50
+    assert cfg.model_type == "temporal"
+    assert cfg.learning_rate == 0.002
