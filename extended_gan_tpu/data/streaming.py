@@ -439,6 +439,8 @@ class AraiLoader:
         time_steps: int = 4,
         downsample_size: tuple[int, int] = (256, 256),
         use_native: bool = True,
+        shuffle: bool = False,
+        seed: int = 369,
     ):
         self.batch_size = batch_size
         self.folder = folder
@@ -456,6 +458,13 @@ class AraiLoader:
             (f for f in os.listdir(folder) if f.split(".")[0].isdigit()),
             key=lambda x: int(x.split(".")[0]),
         )
+        if shuffle:
+            # file-order shuffle (windows stay sequential within a block —
+            # batches never span files anyway); seed+epoch upstream gives
+            # each epoch a fresh order
+            rng = np.random.default_rng(seed)
+            self.files = [self.files[i]
+                          for i in rng.permutation(len(self.files))]
         self._queue: queue.Queue = queue.Queue(maxsize=2)
         self._thread = threading.Thread(target=self._producer, daemon=True)
         self._thread.start()
@@ -666,20 +675,23 @@ def get_arai_loaders(
     device=None,
     *,
     downsample_size: tuple[int, int] = (256, 256),
+    shuffle: bool = False,
+    seed: int = 369,
 ):
-    """== arai_data_loader.py:190-226."""
+    """== arai_data_loader.py:190-226 (+ seeded train file-order shuffle)."""
     with open(os.path.join(preprocessed_folder, "metadata.json")) as f:
         metadata = json.load(f)
-    mk = lambda bs, sub: AraiLoader(
+    mk = lambda bs, sub, sh: AraiLoader(
         bs, os.path.join(preprocessed_folder, sub), device,
         total_length=metadata[sub]["length"],
         n_regions=metadata["n_regions"],
         downsample_size=downsample_size,
+        shuffle=sh, seed=seed,
     )
     return (
-        mk(train_batch_size, "training"),
-        mk(test_batch_size, "validation"),
-        mk(test_batch_size, "validation"),
+        mk(train_batch_size, "training", shuffle),
+        mk(test_batch_size, "validation", False),
+        mk(test_batch_size, "validation", False),
     )
 
 
@@ -702,7 +714,7 @@ def get_loaders(
     if dataset == "arai":
         return get_arai_loaders(
             train_batch_size, test_batch_size, preprocessed_folder, device,
-            downsample_size=downsample_size,
+            downsample_size=downsample_size, shuffle=shuffle, seed=seed,
         )
     if dataset == "kmni":
         return get_kmni_loaders(

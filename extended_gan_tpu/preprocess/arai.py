@@ -88,6 +88,19 @@ def split_continuous_blocks_at_root(accumulator: dict) -> list[dict]:
     out = []
     a_region = next(iter(accumulator))
     a_var = next(iter(accumulator[a_region]))
+    # every region/var must have the same number of continuous runs —
+    # a region with missing files would otherwise mispair blocks from
+    # different time ranges (then crash deep inside np.stack)
+    counts = {
+        f"{region}/{var}": len(blocks)
+        for region, vars_acc in accumulator.items()
+        for var, blocks in vars_acc.items()
+    }
+    if len(set(counts.values())) > 1:
+        raise ValueError(
+            f"regions/vars disagree on continuous-run counts (a region is "
+            f"missing files for some time range): {counts}"
+        )
     for i in range(len(accumulator[a_region][a_var])):
         root = {}
         out.append(root)

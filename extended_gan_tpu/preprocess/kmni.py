@@ -147,6 +147,14 @@ def main(argv=None):
         test_split(args.out_dir)
     elif args.action == "z-score":
         get_z_score_normalizing_constants(args.out_dir)
+    elif args.action == "minimize":
+        # dead choice in the reference CLI too
+        # (preprocessing/kmni_dataset/__main__.py:148-156 has no handler);
+        # fail loudly instead of silently doing nothing
+        raise SystemExit(
+            "'minimize' is not implemented (the reference never "
+            "implemented it either); use preprocess/test-split/z-score"
+        )
 
 
 if __name__ == "__main__":

@@ -340,7 +340,13 @@ def train_single_epoch(
         pred_metrics.metrics["mse"] += IncrementalTuple(logs["train_mse_nd"])
         inc_acc_fd += IncrementalTuple(logs["fd_acc_nd"])
         inc_acc_td += IncrementalTuple(logs["td_acc_nd"])
-    results = pred_metrics.results()
+    # the reference computes these per step and discards them
+    # (dcgan/train.py:105-107 accumulators never reported); reporting them
+    # makes the work the step already does observable
+    results = pred_metrics.results() | {
+        "train_fd_accuracy": inc_acc_fd.item(),
+        "train_td_accuracy": inc_acc_td.item(),
+    }
     if profiler is not None:
         prof_stats = profiler.end_epoch()
         print(f"Step timing: {json.dumps(prof_stats)}")

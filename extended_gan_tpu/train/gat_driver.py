@@ -48,6 +48,7 @@ def train_single_epoch(
     max_batches: int = 0,
     profiler=None,
     spatial: bool = False,
+    train_batch_size: int | None = None,
 ):
     """== convolutional_gat/train.py:94-155."""
     train_loader, val_loader, _test_loader = loader_factory(epoch=epoch)
@@ -66,7 +67,8 @@ def train_single_epoch(
             break
         if len(x) <= 1:
             continue
-        xd, yd, mask = _prep_gat_batch(mesh, x, y, spatial=spatial)
+        xd, yd, mask = _prep_gat_batch(mesh, x, y, spatial=spatial,
+                                       batch_size=train_batch_size)
         with step_cm():
             state, logs = step(state, xd, yd, mask, keys.next())
         pending.append(logs["running_nd"])
@@ -215,7 +217,8 @@ def train(
     print(f"Number of parameters: {param_count(state)}")
     print(f"Using mapping: {model.mapping_type}")
 
-    step = make_gat_train_step(model, tx, remat=remat)
+    step = make_gat_train_step(model, tx, remat=remat,
+                               criterion=criterion)
     eval_step = make_gat_eval_step(model)
 
     scheduler = (
@@ -240,10 +243,19 @@ def train(
             os.path.join(output_path, "checkpoints"), max_to_keep=2
         )
         if resume and ckpt_mgr.latest_step() is not None:
-            restored = ckpt_mgr.restore(
-                {"state": state, "epoch": 0, "lr": learning_rate,
-                 "best": float("inf")}
-            )
+            template = {"state": state, "epoch": 0, "lr": learning_rate,
+                        "best": float("inf"),
+                        "key": np.asarray(keys.state)}
+            try:
+                restored = ckpt_mgr.restore(template)
+            except Exception:
+                # pre-round-2 checkpoints carry no PRNG stream
+                template.pop("key")
+                restored = ckpt_mgr.restore(template)
+                print("[resume] old checkpoint without a PRNG stream; "
+                      "dropout keys restart from the seed")
+            if "key" in restored:
+                keys = KeySeq(jnp.asarray(restored["key"]))
             state = place(restored["state"])
             start_epoch = int(restored["epoch"]) + 1
             # restore the schedule, not just the value: StepLR derives the
@@ -264,9 +276,9 @@ def train(
 
     if test_first:
         tr_l, _, te_l = loader_factory()
-        result = test(eval_step, state, tr_l, mesh)
+        result = test(eval_step, state, tr_l, mesh, spatial=spatial)
         history["train_loss"].append(result["val_loss"])
-        result = test(eval_step, state, te_l, mesh)
+        result = test(eval_step, state, te_l, mesh, spatial=spatial)
         print(f"Test loss (without any training): {result['val_loss']:.6f}")
         update_history(history, result)
         print(json.dumps(result, indent=4))
@@ -281,11 +293,13 @@ def train(
                 scheduler=scheduler, mesh=mesh, keys=keys, history=history,
                 output_path=output_path, loader_factory=loader_factory,
                 max_batches=max_batches, profiler=profiler, spatial=spatial,
+                train_batch_size=train_batch_size,
             )
             if output_path:
                 _, viz_loader, _ = loader_factory(2, 2)
                 visualize_gat_predictions(
-                    lambda xb: _predict_batch(eval_step, state, mesh, xb),
+                    lambda xb: _predict_batch(eval_step, state, mesh, xb,
+                                              spatial=spatial),
                     viz_loader, epoch=epoch, path=output_path,
                     power=float(getattr(viz_loader, "power", 1.0)),
                 )
@@ -305,7 +319,10 @@ def train(
                     epoch,
                     {"state": state, "epoch": epoch,
                      "lr": float(scheduler.current()),
-                     "best": float("inf") if best is None else float(best)},
+                     "best": float("inf") if best is None else float(best),
+                     # the dropout-key stream: a resumed run must CONTINUE
+                     # it, not replay epochs 1..N's masks from the seed
+                     "key": np.asarray(keys.state)},
                 )
             if preempted:
                 print(f"[preempt] stopped resumably after epoch {epoch}")
@@ -317,8 +334,8 @@ def train(
     return state, history
 
 
-def _predict_batch(eval_step, state, mesh, xb):
+def _predict_batch(eval_step, state, mesh, xb, spatial=False):
     xb = np.asarray(xb, np.float32)
-    xd, yd, mask = _prep_gat_batch(mesh, xb, xb)
+    xd, yd, mask = _prep_gat_batch(mesh, xb, xb, spatial=spatial)
     out = eval_step(state, xd, yd, mask, 0.5, 1.0, power=1.0)
     return np.asarray(out["y_hat"])[: len(xb)]

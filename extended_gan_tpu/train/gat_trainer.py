@@ -32,10 +32,20 @@ import numpy as np
 from .state import NetState
 
 
-def make_gat_train_step(model, tx, *, remat: bool = False):
+def make_gat_train_step(model, tx, *, remat: bool = False,
+                        criterion: str = "mse"):
     """remat=True rematerializes the forward during the backward pass
     (jax.checkpoint) — trades recompute FLOPs for activation HBM, the knob
-    that lets the 4M-param SmaAt-UNet train at large spatial sizes."""
+    that lets the 4M-param SmaAt-UNet train at large spatial sizes.
+
+    ``criterion`` (config key CRITERION; the reference passes an arbitrary
+    torch loss module to train(), convolutional_gat/train.py:131): "mse"
+    (the only one the reference's configs use) or "l1". Unknown names
+    raise — silently training MSE under another label is worse."""
+    if criterion not in ("mse", "l1"):
+        raise ValueError(
+            f"unsupported criterion {criterion!r}; choose 'mse' or 'l1'"
+        )
 
     def forward(params, batch_stats, x, rng, has_bs):
         variables = {"params": params}
@@ -63,7 +73,9 @@ def make_gat_train_step(model, tx, *, remat: bool = False):
                 else (out, state.batch_stats)
             )
             n_el = jnp.maximum(jnp.sum(mask), 1.0) * jnp.float32(y[0].size)
-            sq = jnp.sum(((y_hat - y) ** 2) * m)
+            err = ((y_hat - y) ** 2 if criterion == "mse"
+                   else jnp.abs(y_hat - y))
+            sq = jnp.sum(err * m)
             mean_pred = jnp.sum(y_hat * m) / n_el
             loss = sq / n_el - 0.0005 * mean_pred  # reference :131
             return loss, (y_hat, new_bs, sq)
@@ -120,8 +132,11 @@ def make_gat_eval_step(model):
     return eval_step
 
 
-def _prep_gat_batch(mesh, x, y, spatial=False):
-    padded = mesh.padded_batch_size(len(x))
+def _prep_gat_batch(mesh, x, y, spatial=False, batch_size=None):
+    # pad to the NOMINAL batch size when known: padding the ragged last
+    # batch only up to a DP multiple of its own length creates a second
+    # input shape and a full extra XLA compile of the (donated) step
+    padded = mesh.padded_batch_size(max(batch_size or 0, len(x)))
     x, y, mask = mesh.pad_to_batch_multiple(
         np.asarray(x, np.float32), np.asarray(y, np.float32),
         batch_size=padded,
@@ -131,8 +146,10 @@ def _prep_gat_batch(mesh, x, y, spatial=False):
 
 
 def test(eval_step, state, loader, mesh, *, flag: str = "val",
-         spatial: bool = False):
+         spatial: bool = False, batch_size: int | None = None):
     """Validation-set evaluation == convolutional_gat/train.py:28-91."""
+    if batch_size is None:
+        batch_size = getattr(loader, "batch_size", None)
     running_loss = running_acc = running_prec = running_rec = 0.0
     running_denorm = 0.0
     total = 0
@@ -145,7 +162,8 @@ def test(eval_step, state, loader, mesh, *, flag: str = "val",
         y_p = np.asarray(y, np.float32) ** (1.0 / power)
         unique = np.unique(y_p)
         threshold = float(unique[int(len(unique) * 0.5)])  # :60-61
-        xd, yd, mask = _prep_gat_batch(mesh, x, y, spatial=spatial)
+        xd, yd, mask = _prep_gat_batch(mesh, x, y, spatial=spatial,
+                                       batch_size=batch_size)
         out = eval_step(state, xd, yd, mask, threshold, norm_max,
                         power=power)
         pending.append({k: v for k, v in out.items() if k != "y_hat"})

@@ -279,3 +279,30 @@ def test_native_minmax_normalize_matches_numpy():
     # constant input: defined zeros, not NaN
     z = minmax_normalize(np.full((4, 4), 7.0))
     assert not np.isnan(z).any() and (z == 0).all()
+
+
+def test_arai_shuffle_reorders_files_per_seed(tmp_path):
+    from extended_gan_tpu.data.io import save_array
+    from extended_gan_tpu.data.streaming import AraiLoader
+
+    rng = np.random.RandomState(5)
+    d = tmp_path / "training"
+    d.mkdir()
+    blocks = [rng.rand(12, 2, 1, 6, 6).astype(np.float32) for _ in range(4)]
+    for i, b in enumerate(blocks):
+        save_array(str(d / f"{i}.pt"), b)
+
+    def first_batch(seed, shuffle):
+        loader = AraiLoader(4, str(d), total_length=48, n_regions=2,
+                            time_steps=4, downsample_size=(6, 6),
+                            shuffle=shuffle, seed=seed)
+        x, _y = next(iter(loader))
+        return np.asarray(x)
+
+    a = first_batch(1, True)
+    b = first_batch(2, True)
+    c = first_batch(1, True)
+    np.testing.assert_array_equal(a, c)   # deterministic per seed
+    assert not np.array_equal(a, b)       # different seed, different order
+    plain = first_batch(0, False)
+    assert plain.shape == a.shape

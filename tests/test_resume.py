@@ -138,3 +138,54 @@ def test_cyclegan_resume_reapplies_tp_sharding(tmp_path):
         and "model" in (leaf.sharding.spec or ())
     ]
     assert sharded, "wide d_x conv kernels lost their TP sharding on resume"
+
+
+def test_gat_checkpoint_carries_prng_stream(tmp_path):
+    """The conv-GAT checkpoint must persist the dropout-key stream so a
+    resumed run CONTINUES it instead of replaying epoch 1..N's masks
+    (round-2 review; the GAN drivers already did this)."""
+    import jax.numpy as jnp
+
+    from extended_gan_tpu.core import KeySeq
+    from extended_gan_tpu.train.checkpoint import CheckpointManager
+    from extended_gan_tpu.train.gat_driver import train
+
+    out = tmp_path / "exp"
+    train(
+        model_type="temporal", mapping_type="conv", dataset="synthetic",
+        preprocessed_folder="", epochs=1, train_batch_size=8,
+        test_batch_size=8, downsample_size=(12, 12), max_batches=2,
+        output_path=str(out), checkpoint_every=1, seed=7,
+    )
+    # resume restores the stream: the template includes "key", so this
+    # raises a tree-structure mismatch if the save had not persisted it
+    _, hist = train(
+        model_type="temporal", mapping_type="conv", dataset="synthetic",
+        preprocessed_folder="", epochs=2, train_batch_size=8,
+        test_batch_size=8, downsample_size=(12, 12), max_batches=2,
+        output_path=str(out), checkpoint_every=1, seed=7, resume=True,
+    )
+    assert len(hist["train_loss"]) == 2
+
+    # back-compat: a pre-round-2 checkpoint without the key still resumes
+    out2 = tmp_path / "legacy"
+    os.makedirs(out2)
+    mgr = CheckpointManager(str(out2 / "checkpoints"))
+    from extended_gan_tpu.train.optim import make_optimizer
+    from extended_gan_tpu.models.registry import build_model
+    from extended_gan_tpu.train.state import create_net_state
+
+    model = build_model("temporal", image_width=12, image_height=12,
+                        n_vertices=6, mapping_type="conv")
+    st = create_net_state(
+        model, make_optimizer("adam", 1e-3, weight_decay=0.01),
+        KeySeq(7).next(), jnp.zeros((2, 12, 12, 4, 6)))
+    mgr.save(1, {"state": st, "epoch": 1, "lr": 1e-3, "best": 0.5})
+    mgr.close()
+    _, hist2 = train(
+        model_type="temporal", mapping_type="conv", dataset="synthetic",
+        preprocessed_folder="", epochs=2, train_batch_size=8,
+        test_batch_size=8, downsample_size=(12, 12), max_batches=2,
+        output_path=str(out2), checkpoint_every=1, seed=7, resume=True,
+    )
+    assert len(hist2["train_loss"]) == 1  # epoch 2 only
