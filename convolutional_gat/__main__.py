@@ -11,20 +11,22 @@ from .generate_experiment import generate_experiment
 def main():
     parser = argparse.ArgumentParser(prog="convolutional_gat")
     parser.add_argument("action", choices=("train", "generate_experiment"))
-    parser.add_argument("--train-batch-size", type=int, default=32)
-    parser.add_argument("--test-batch-size", type=int, default=64)
+    # None = "not set": generate_experiment must distinguish an
+    # explicit flag from the default so configs win by default
+    parser.add_argument("--train-batch-size", type=int, default=None)
+    parser.add_argument("--test-batch-size", type=int, default=None)
     parser.add_argument("--exp_folder_name", type=str, default="")
     parser.add_argument("--model-type", type=str, default="temporal")
     parser.add_argument("--mapping-type", type=str, default="linear")
     parser.add_argument("--dataset", type=str, default="kmni")
     parser.add_argument("--preprocessed-folder", type=str, default="")
-    parser.add_argument("--epochs", type=int, default=10)
-    parser.add_argument("--learning-rate", type=float, default=1e-3)
+    parser.add_argument("--epochs", type=int, default=None)
+    parser.add_argument("--learning-rate", type=float, default=None)
     parser.add_argument("--downsample-size", type=int, nargs=2,
                         default=(20, 20))
     parser.add_argument("--output-path", type=str, default="")
     parser.add_argument("--precision", choices=("f32", "bf16"),
-                        default="f32")
+                        default=None)
     parser.add_argument("--max-batches", type=int, default=0)
     parser.add_argument("--data-axis", type=int, default=None,
                         help="mesh data-parallel axis size (default: all "
@@ -56,17 +58,17 @@ def main():
             mapping_type=args.mapping_type,
             optimizer="adam",
             output_path=args.output_path,
-            train_batch_size=args.train_batch_size,
-            test_batch_size=args.test_batch_size,
-            epochs=args.epochs,
-            learning_rate=args.learning_rate,
+            train_batch_size=args.train_batch_size or 32,
+            test_batch_size=args.test_batch_size or 64,
+            epochs=args.epochs or 10,
+            learning_rate=args.learning_rate or 1e-3,
             lr_step=1,
             spatial=args.spatial,
             gamma=0.95,
             dataset=args.dataset,
             preprocessed_folder=args.preprocessed_folder,
             downsample_size=tuple(args.downsample_size),
-            precision=args.precision,
+            precision=args.precision or "f32",
             max_batches=args.max_batches,
             data_axis=args.data_axis,
             model_axis=args.model_axis,
@@ -74,10 +76,25 @@ def main():
             profile_trace_dir=args.profile_trace_dir,
         )
     elif args.action == "generate_experiment":
+        # every explicitly-set flag becomes a config override; unset flags
+        # leave the experiment config in charge
+        overrides = dict(
+            train_batch_size=args.train_batch_size,
+            test_batch_size=args.test_batch_size,
+            epochs=args.epochs,
+            learning_rate=args.learning_rate,
+            precision=args.precision,
+            max_batches=args.max_batches or None,
+            data_axis=args.data_axis,
+            profile=args.profile or None,
+            profile_trace_dir=args.profile_trace_dir or None,
+            spatial=args.spatial or None,
+        )
+        if args.model_axis != 1:
+            overrides["model_axis"] = args.model_axis
         generate_experiment(
             args.exp_folder_name,
-            train_batch_size=args.train_batch_size,
-            max_batches=args.max_batches,
+            **{k: v for k, v in overrides.items() if v is not None},
         )
 
 

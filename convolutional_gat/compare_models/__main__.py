@@ -51,6 +51,15 @@ def get_metrics(entries, mesh, preprocessed_folder, dataset,
             downsample_size=downsample_size, merge_nodes=False,
             shuffle=True, seed=seed,
         )
+        # warm-up pass first: the initial test() invocation pays the XLA
+        # compile, which would otherwise dominate "eval_time_s" and make
+        # the per-model timing column meaningless
+        metrics = test(eval_step, state, test_loader, mesh)
+        _, test_loader, _ = get_loaders(
+            2, 100, preprocessed_folder, None, dataset=dataset,
+            downsample_size=downsample_size, merge_nodes=False,
+            shuffle=True, seed=seed,
+        )
         t0 = time.time()
         metrics = test(eval_step, state, test_loader, mesh)
         t1 = time.time()
@@ -72,8 +81,8 @@ def plot(out_path, loader, entries, mesh, raininess_threshold=0.3):
             if raininess < raininess_threshold:
                 continue
             preds = []
+            xd, yd, mask = _prep_gat_batch(mesh, x, y)  # once per batch
             for model, state, eval_step in entries.values():
-                xd, yd, mask = _prep_gat_batch(mesh, x, y)
                 out = eval_step(state, xd, yd, mask, 0.5, 1.0, power=1.0)
                 preds.append(np.asarray(out["y_hat"])[k])
             to_plot = [np.asarray(y[k])] + preds

@@ -15,7 +15,8 @@ import jax.numpy as jnp
 
 import matplotlib
 
-matplotlib.use("Agg")
+if not os.environ.get("DISPLAY") and not os.environ.get("MPLBACKEND"):
+    matplotlib.use("Agg")
 import matplotlib.pyplot as plt
 
 from extended_gan_tpu.core import KeySeq
@@ -53,6 +54,12 @@ def create_comparison_plot(
     )
     x0, _ = next(iter(test_loader))
     _, w, h, t, v = x0.shape
+    # the streaming loader is one-shot: the probe consumed its first
+    # batch, so rebuild it before the rainy-sample scan below
+    _, test_loader, _ = get_loaders(
+        2, 2, preprocessed_folder, None, dataset=dataset,
+        downsample_size=tuple(downsample_size), shuffle=True, seed=seed,
+    )
 
     entries = []
     for d in experiment_dirs:
@@ -66,9 +73,12 @@ def create_comparison_plot(
             jnp.zeros((2, w, h, t, v), jnp.float32),
         )
         ckpt = os.path.join(d, "model.msgpack")
-        if os.path.exists(ckpt):
-            params, bs = load_model(ckpt, state.params, state.batch_stats)
-            state = state.replace(params=params, batch_stats=bs)
+        if not os.path.exists(ckpt):
+            # plotting random init under the experiment's name would be a
+            # silently misleading artifact (compare_models raises too)
+            raise ValueError(f"no checkpoint at {ckpt}; train it first")
+        params, bs = load_model(ckpt, state.params, state.batch_stats)
+        state = state.replace(params=params, batch_stats=bs)
         entries.append((model, state, make_gat_eval_step(model)))
 
     power = float(getattr(test_loader, "power", 1.0))
@@ -77,8 +87,8 @@ def create_comparison_plot(
             if (y[k] != 0).sum() / y[k].size < raininess_threshold:
                 continue
             preds = []
+            xd, yd, mask = _prep_gat_batch(mesh, x, y)  # once per batch
             for model, state, eval_step in entries:
-                xd, yd, mask = _prep_gat_batch(mesh, x, y)
                 out = eval_step(state, xd, yd, mask, 0.5, 1.0, power=1.0)
                 preds.append(np.asarray(out["y_hat"])[k])
             rows = [np.asarray(y[k])] + preds

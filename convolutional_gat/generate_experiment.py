@@ -22,11 +22,16 @@ def generate_experiment(exp_folder_name: str, **overrides):
     exp_path = os.path.join(current_dir, "experiments", exp_folder_name)
     cfg = load_experiment_config(exp_path)
     cfg.output_path = exp_path
-    dump_config(cfg)
     kwargs = cfg.to_dict()
+    # None = not overridden; explicit falsy values (0, False) DO apply.
+    # (The old truthiness filter let CLI defaults silently clobber the
+    # config — a config's TRAIN_BATCH_SIZE lost to the CLI's default 32.)
     for k, v in overrides.items():
-        if v:
+        if v is not None:
             kwargs[k] = v
+            if hasattr(cfg, k):
+                setattr(cfg, k, v)
+    dump_config(cfg)  # the settings the run ACTUALLY uses
     return train(**kwargs)
 
 

@@ -96,6 +96,11 @@ def main(argv=None):
     print(f"mesh: data={mesh.n_data} model={mesh.n_model} "
           f"({jax.devices()[0].platform})")
 
+    if opt.channels != 1:
+        # the image source is single-channel (MNIST-style); the reference
+        # advertises --channels too but crashes the same way if changed
+        raise SystemExit("--channels must be 1: the digit sources are "
+                         "single-channel")
     img_shape = (opt.channels, opt.img_size, opt.img_size)
     dtype = jnp.bfloat16 if opt.precision == "bf16" else jnp.float32
     g_model = MLPGenerator(img_shape=img_shape, latent_dim=opt.latent_dim,

@@ -77,8 +77,10 @@ def _export_dcgan(args):
     params = dict(DEFAULT_PARAMS)
     if args.imsize:
         params["imsize"] = args.imsize
-    if args.ngf:
-        params["ngf"] = params["ndf"] = args.ngf
+    if args.ndf:
+        # template widths must MATCH the checkpoint's training widths or
+        # the Orbax restore fails on tree-structure mismatch
+        params["ngf"] = params["ndf"] = args.ndf
     # seed only shapes the template init; restore() overwrites every weight
     models, _, states, _ = build_dcgan(params, seed=369)
     mgr = CheckpointManager(os.path.join(args.experiment_dir, "checkpoints"))
@@ -115,7 +117,9 @@ def main(argv=None):
     parser.add_argument("--time-steps", type=int, default=4)
     parser.add_argument("--vertices", type=int, default=6)
     parser.add_argument("--imsize", type=int, default=0)
-    parser.add_argument("--ngf", type=int, default=0)
+    parser.add_argument("--ndf", type=int, default=0,
+                        help="discriminator/template width used at "
+                             "TRAINING time (must match the checkpoint)")
     parser.add_argument("--platforms", type=str, nargs="*", default=None,
                         help="target runtimes, e.g. --platforms tpu cpu "
                              "(default: current backend only)")

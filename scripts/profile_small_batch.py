@@ -4,7 +4,7 @@ Measures on the real chip:
 - full fused step at batch 32 / 64 / 128 (wall + XLA cost-analysis FLOPs),
 - component programs at batch 32: G fwd+bwd, FD real+fake grads,
   TD real+fake grads, the G-through-updated-Ds grad, Adam updates alone,
-- dropout-RNG on/off and BatchNorm on/off ablations of the full step.
+- a dropout-RNG on/off ablation of the full step.
 
 Output: a small JSON report (stdout) for BENCH_NOTES.md.
 """

@@ -218,7 +218,7 @@ def test_export_cli_dcgan_generator(tmp_path):
         sys.path.pop(0)
     artifact = str(tmp_path / "g.stablehlo")
     export_model.main([
-        out, "--workload", "dcgan", "--ngf", "8", "--out", artifact,
+        out, "--workload", "dcgan", "--ndf", "8", "--out", artifact,
         "--check",
     ])
     assert os.path.exists(artifact)
