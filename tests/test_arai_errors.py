@@ -18,6 +18,11 @@ def test_arai_corrupt_file_raises_not_truncates(tmp_path):
         f.write(b"not a tensor file at all")
     loader = AraiLoader(4, str(d), total_length=24, n_regions=5,
                         downsample_size=(8, 8))
-    with pytest.raises(Exception):
-        for _ in loader:
-            pass
+    batches = 0
+    with pytest.raises(Exception) as excinfo:
+        for _x, _y in loader:
+            batches += 1
+    # the GOOD file streamed first (3 batches of <=4 from 5 windows), THEN
+    # the corrupt one surfaced — not an unrelated crash at construction
+    assert batches >= 1, "good file never streamed"
+    assert not isinstance(excinfo.value, StopIteration)

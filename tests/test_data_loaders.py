@@ -59,10 +59,11 @@ def test_h5_loader_window_semantics(tmp_path):
     total = x.shape[0]
     for x, y in train:
         total += x.shape[0]
-    # 40 frames truncated to multiple of 8 = 40; batches of 8 consecutive
-    # windows consuming 8 frames each -> 40/8 = 5 batches, last ones shorter
-    # as the buffer runs out of complete windows.
-    assert total >= 8
+    # stride-1 windows, buffer drops batch_size frames per batch:
+    # 40 frames -> 33+... window counts 8, 8, 8, 8, 1 as the buffer
+    # shrinks 40 -> 32 -> 24 -> 16 -> 8 frames. Exact total pins the
+    # window/remainder semantics (a >=8 assertion was vacuous).
+    assert total == 33, total
 
 
 def test_h5_loader_xy_are_consecutive(tmp_path):

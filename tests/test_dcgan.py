@@ -105,9 +105,14 @@ def test_masked_step_matches_smaller_batch_loss():
     xp, yp, mask = mesh.pad_to_batch_multiple(x6, y6, batch_size=8)
     _, logs_pad = step2(states2, jnp.asarray(xp), jnp.asarray(yp),
                         jnp.asarray(mask), k)
-    # BCE losses are mask-exact; BN batch stats differ (documented), which
-    # perturbs D outputs — so compare the real-data-independent pieces
-    # loosely and the metric denominators exactly.
+    # BCE losses are mask-exact in the numerator, but BN batch stats see
+    # the pad rows (documented deviation), perturbing D outputs: measured
+    # deltas at init are 0.5%/6%/2% (FD/TD/G). rtol 0.15 still catches a
+    # gross regression (pad rows leaking into a loss shift it ~25%+).
+    for key in ("errFD", "errTD", "errG"):
+        np.testing.assert_allclose(
+            float(logs_pad[key]), float(logs_full[key]), rtol=0.15,
+            err_msg=key)
     np.testing.assert_allclose(
         np.asarray(logs_pad["train_mse_nd"])[1], 6 * 4 * 64 * 64)
     assert float(logs_pad["fd_acc_nd"][1]) == 12.0  # 6 valid x 2 updates

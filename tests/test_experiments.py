@@ -59,23 +59,31 @@ def test_all_committed_experiment_configs_parse():
 
 
 @pytest.mark.slow
-def test_generate_experiment_synthetic_smoke(tmp_path, monkeypatch):
-    """Run the actual experiment pipeline end-to-end on synthetic data."""
+def test_generate_experiment_synthetic_smoke(tmp_path):
+    """Run the actual experiment pipeline end-to-end on synthetic data.
+
+    The experiment dir is COPIED to tmp first: running in place would
+    overwrite the git-tracked history.json/pred_*.png artifacts in
+    convolutional_gat/experiments/synthetic_smoke on every run."""
     import shutil
 
-    from convolutional_gat.generate_experiment import generate_experiment
+    from extended_gan_tpu.train.gat_driver import train
+    from extended_gan_tpu.utils.config import load_experiment_config
 
-    # copy the experiment dir so artifacts land in tmp
     src = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "convolutional_gat", "experiments", "synthetic_smoke",
     )
-    # run in place but truncated
-    state, history = generate_experiment(
-        "synthetic_smoke", max_batches=2,
-    )
+    exp_dir = str(tmp_path / "synthetic_smoke")
+    shutil.copytree(src, exp_dir)
+    for stale in os.listdir(exp_dir):
+        if stale != "config.py":
+            p = os.path.join(exp_dir, stale)
+            os.remove(p) if os.path.isfile(p) else shutil.rmtree(p)
+    cfg = load_experiment_config(exp_dir)
+    cfg.output_path = exp_dir
+    state, history = train(max_batches=2, **cfg.to_dict())
     assert len(history["val_loss"]) == 2
-    exp_dir = src
     assert os.path.exists(os.path.join(exp_dir, "history.json"))
     assert os.path.exists(os.path.join(exp_dir, "model.msgpack"))
 

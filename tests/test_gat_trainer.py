@@ -50,8 +50,9 @@ def test_gat_training_reduces_loss(kmni_dir, tmp_path):
         dataset="kmni", reduce_lr_on_plateau=True,
     )
     # rain fields are smooth and temporally coherent: the model must beat
-    # its untrained val loss within 3 epochs
-    assert history["val_loss"][-1] < history["val_loss"][0] * 1.05
+    # its untrained val loss within 3 epochs (strictly — a 1.05 fudge
+    # factor would tolerate training that makes the model WORSE)
+    assert history["val_loss"][-1] < history["val_loss"][0]
 
 
 def test_plateau_scheduler_halves_lr():

@@ -17,6 +17,11 @@ def test_incremental_tuple_basic():
     assert it.item() == 0.5
     rec = it.reciprocal()
     assert rec.item() == 0.5
+    # asymmetric data so complement != identity (0.5/0.5 couldn't tell
+    # reciprocal() from a no-op)
+    it2 = IncrementalTuple(1.0, 4.0)
+    assert it2.item() == 0.25
+    assert it2.reciprocal().item() == 0.75
 
 
 def test_metrics_manager_mse():
