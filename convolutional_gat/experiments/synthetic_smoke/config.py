@@ -28,3 +28,7 @@ REMAT = False            # jax.checkpoint the forward (saves HBM)
 CHECKPOINT_EVERY = 0     # Orbax full-state snapshot cadence (epochs)
 RESUME = False           # continue from checkpoints/ if present
 SEED = 369
+# DATA_AXIS / MODEL_AXIS shape the device mesh (DP x TP);
+# SPATIAL = True stripes the frame axis over MODEL_AXIS instead (SP);
+# USE_PALLAS = True opts into the fused Pallas kernels (GAT attention,
+# SmaAt-UNet DSC); CRITERION accepts "mse" (reference) or "l1"
