@@ -110,17 +110,25 @@ class ReduceLROnPlateau:
         factor: float = 0.5,
         patience: int = 0,
         mode: str = "min",
+        threshold: float = 1e-4,
     ):
         self.lr = base_lr
         self.factor = factor
         self.patience = patience
         self.mode = mode
+        # torch's default rel threshold: an epoch only counts as improved
+        # if it beats best by >1e-4 RELATIVE — a strict `<` would disagree
+        # with the reference's scheduler on near-tie val losses and fork
+        # the LR schedule 2x from that epoch on
+        self.threshold = threshold
         self.best: float | None = None
         self.num_bad = 0
 
     def step(self, metric: float) -> float:
         improved = self.best is None or (
-            metric < self.best if self.mode == "min" else metric > self.best
+            metric < self.best * (1.0 - self.threshold)
+            if self.mode == "min"
+            else metric > self.best * (1.0 + self.threshold)
         )
         if improved:
             self.best = metric

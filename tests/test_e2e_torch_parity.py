@@ -572,6 +572,29 @@ def test_e2e_dcgan_torch_parity():
     np.testing.assert_allclose(
         np.moveaxis(j0, -1, 1), t0, rtol=2e-4, atol=2e-4
     )
+    # discriminator twins too: a weight-loading bug in FD/TD would
+    # otherwise only surface as an opaque per-step loss mismatch later
+    tfd.eval(); ttd.eval()
+    y0 = train_batches[0][1]
+    y0_nhwc = np.moveaxis(y0, 1, -1)
+    jfd = np.asarray(fd_model.apply(
+        {"params": jax.device_get(states.fd.params),
+         "batch_stats": jax.device_get(states.fd.batch_stats)},
+        jnp.asarray(y0_nhwc), train=False,
+    )).reshape(-1)
+    np.testing.assert_allclose(
+        jfd, tfd(t_(y0)).detach().numpy().reshape(-1),
+        rtol=2e-4, atol=2e-4)
+    xy0 = np.concatenate([x0_nhwc, y0_nhwc], axis=-1)
+    jtd = np.asarray(td_model.apply(
+        {"params": jax.device_get(states.td.params),
+         "batch_stats": jax.device_get(states.td.batch_stats)},
+        jnp.asarray(xy0), train=False,
+    )).reshape(-1)
+    np.testing.assert_allclose(
+        jtd, ttd(t_(np.concatenate([x0, y0], axis=1))
+                 ).detach().numpy().reshape(-1),
+        rtol=2e-4, atol=2e-4)
 
     t_steps, t_hist = _run_torch_dcgan(
         tg, tfd, ttd, train_batches, val_batches, EPOCHS, LR, BETA1
@@ -615,9 +638,15 @@ def test_e2e_dcgan_torch_parity():
                                rtol=5e-3, atol=1e-4)
     np.testing.assert_allclose(np.array(j_steps[:2]),
                                np.array(t_steps[:2]), rtol=1e-3, atol=1e-5)
-    # per-epoch metrics within the 1% budget
+    # per-epoch metrics within the 1% budget. The discriminator
+    # accuracies are ratios over denominator 4 (they move in 0.25 steps):
+    # one borderline score binarizing differently across frameworks is a
+    # >=3% relative jump on an otherwise-exact run, so those two keys get
+    # a one-quantum absolute allowance on top of the relative budget.
     for key in t_hist:
+        quantum = 25.0 if key.endswith("disc_accuracy") else 0.0
         for je, te in zip(j_hist[key], t_hist[key]):
-            assert abs(je - te) / max(abs(te), 1e-12) < 0.01, (
+            rel = abs(je - te) / max(abs(te), 1e-12)
+            assert rel < 0.01 or abs(je - te) <= quantum + 1e-9, (
                 key, j_hist[key], t_hist[key]
             )

@@ -74,3 +74,21 @@ def test_step_lr_schedule():
     assert s.current() == 1.0
     s.step()
     assert abs(s.current() - 0.1) < 1e-12
+
+
+def test_plateau_uses_torch_rel_threshold():
+    """torch ReduceLROnPlateau only counts an epoch as improved when it
+    beats best by >1e-4 RELATIVE; a strict `<` forked the LR schedule 2x
+    from the reference's on near-tie val losses (round-2 review)."""
+    from extended_gan_tpu.train.optim import ReduceLROnPlateau
+
+    s = ReduceLROnPlateau(1.0, factor=0.5, patience=0)
+    s.step(1.0)
+    # relative improvement of 5e-5 < threshold 1e-4: a BAD epoch in torch
+    lr = s.step(1.0 * (1 - 5e-5))
+    assert lr == 0.5, lr
+    # a genuine improvement resets
+    lr = s.step(0.9)
+    assert lr == 0.5
+    lr = s.step(0.9)  # identical value: bad epoch again
+    assert lr == 0.25

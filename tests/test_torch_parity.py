@@ -181,9 +181,6 @@ def test_gat_layer_matches_naive_reference_math():
 def test_bilinear_upsample_matches_torch_align_corners():
     """SmaAt-UNet's decoder upsampling must match the published
     nn.Upsample(scale_factor=2, mode="bilinear", align_corners=True)."""
-    import numpy as np
-    import torch
-
     from extended_gan_tpu.models.smaat_unet import _resize
 
     rng = np.random.default_rng(0)
