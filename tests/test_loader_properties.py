@@ -70,3 +70,26 @@ def test_h5_xy_never_overlap(tmp_path):
     for x, y in loader:
         # y frames strictly follow x frames within each window
         assert (y[:, 0, 0, 0, 0] - x[:, -1, 0, 0, 0] == 1).all()
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_coastal_epoch_count_invariant_random_lengths(tmp_path, seed):
+    """Property: for ANY mix of file lengths (short files included), the
+    epoch yields exactly sum(max(len_i - 2*seq + 1, 0)) samples at every
+    batch size — short files skip, nothing else drops."""
+    from extended_gan_tpu.data.io import save_array
+    from extended_gan_tpu.data.streaming import CoastalSeaLoader
+
+    rng = np.random.RandomState(seed)
+    d = tmp_path / f"coastal{seed}"
+    d.mkdir()
+    lengths = rng.randint(2, 30, size=7)
+    for i, n in enumerate(lengths):
+        save_array(str(d / f"{i:02d}.pt"),
+                   rng.rand(n, 1, 8, 8).astype(np.float32))
+    expected = int(sum(max(n - 8 + 1, 0) for n in lengths))
+    for bs in (1, 3, 16):
+        loader = CoastalSeaLoader(str(d), bs, crop=8, shuffle=False,
+                                  seq_len=4)
+        got = sum(len(x) for x, _y in loader)
+        assert got == expected, (lengths, bs, got, expected)
