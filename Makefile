@@ -1,6 +1,6 @@
 # Common entry points (see README.md for the full quickstart)
 
-.PHONY: test test-fast bench bench-all demo-dcgan demo-cyclegan demo-gat dryrun native
+.PHONY: test test-fast export-demo serve-demo bench bench-all demo-dcgan demo-cyclegan demo-gat dryrun native
 
 test:
 	python -m pytest tests/ -q
@@ -26,6 +26,14 @@ demo-gat:
 
 dryrun:
 	python -c "import __graft_entry__ as g; g.dryrun_multichip(8)"
+
+# deployment: experiment checkpoint -> StableHLO artifact -> HTTP server
+export-demo:
+	python scripts/export_model.py convolutional_gat/experiments/synthetic_smoke \
+	    --out /tmp/model.stablehlo --check
+
+serve-demo: export-demo
+	python scripts/serve_model.py /tmp/model.stablehlo --port 8000
 
 native:
 	python -c "from extended_gan_tpu.data import native; assert native.available(); print('native core OK')"
