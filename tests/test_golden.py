@@ -6,9 +6,11 @@ here, so we pin our own: a fully-deterministic 2-epoch conv-GAT run on
 seeded synthetic data. If training numerics drift (loss math, loader
 semantics, optimizer, init), this breaks loudly.
 
-Golden values recorded on the 8-virtual-device CPU mesh. Tolerance is 1%
-relative — the BASELINE.md parity budget; XLA version / fast-math variation
-fits well inside it (observed run-to-run drift is <0.01%).
+Golden values recorded on the 8-virtual-device CPU mesh. Tolerance is 0.1%
+relative — 10x above the observed run-to-run drift (<0.01%, confirmed by
+back-to-back recordings), and 10x tighter than the 1% BASELINE.md parity
+budget, so a numerics regression eating half the parity budget cannot hide
+inside the oracle (round-2 VERDICT item 7).
 """
 
 import numpy as np
@@ -17,11 +19,13 @@ import pytest
 from extended_gan_tpu.data.synthetic import make_kmni_dataset
 
 GOLDEN = {
-    # recorded 2026-08-16 (round 2: 3x3/1x1/3x3 conv-bottleneck mapping,
-    # 43,936-param footprint), jax 0.9.0 CPU. values after epochs 1, 2.
-    "val_loss": [0.12302, 0.12186],
-    "train_loss": [0.13459, 0.13343],
+    # re-recorded 2026-08-17 (round 3, tolerance tightened 1% -> 0.1%),
+    # jax 0.9.0 CPU; identical across two consecutive runs.
+    # values after epochs 1, 2.
+    "val_loss": [0.12277, 0.12131],
+    "train_loss": [0.13465, 0.13336],
 }
+TOL = 1e-3
 
 
 @pytest.fixture(scope="module")
@@ -49,4 +53,4 @@ def test_golden_conv_gat_training_curve(kmni_dir):
         observed = history[key]
         assert len(observed) == len(golden)
         for o, g in zip(observed, golden):
-            assert abs(o - g) / abs(g) < 0.01, (key, observed, golden)
+            assert abs(o - g) / abs(g) < TOL, (key, observed, golden)

@@ -1,10 +1,16 @@
-"""Golden regression oracles for the GAN trainers (cpu mesh, seeded)."""
+"""Golden regression oracles for the GAN trainers (cpu mesh, seeded).
+
+Tolerance is 0.1% relative — 10x above observed run-to-run drift (values
+reproduced exactly to 5 decimals across rounds 2 and 3), 10x tighter than
+the 1% parity budget (round-2 VERDICT item 7).
+"""
 
 import numpy as np
 import pytest
 
 GOLDEN_DCGAN = {  # recorded 2026-08-16 (round 2: torch-exact BN running
-    # stats), jax 0.9.0 CPU; 1 epoch, 4 batches
+    # stats), jax 0.9.0 CPU; 1 epoch, 4 batches. Reconfirmed exact
+    # 2026-08-17 when the tolerance was tightened to 0.1%.
     "train_mse": 0.13356,
     "pred_mse": 0.12733,
 }
@@ -12,6 +18,7 @@ GOLDEN_CYCLEGAN = {  # same setup
     "pred_mse": 0.12243,
     "cycle_l1": 0.30973,
 }
+TOL = 1e-3
 
 
 @pytest.mark.slow
@@ -27,7 +34,7 @@ def test_golden_dcgan_curve(tmp_path):
     print("observed dcgan:", {k: round(h[k][-1], 5)
                               for k in ("train_mse", "pred_mse")})
     for k, g in GOLDEN_DCGAN.items():
-        assert abs(h[k][-1] - g) / g < 0.01, (k, h[k][-1], g)
+        assert abs(h[k][-1] - g) / g < TOL, (k, h[k][-1], g)
 
 
 @pytest.mark.slow
@@ -42,4 +49,4 @@ def test_golden_cyclegan_curve(tmp_path):
     print("observed cyclegan:", {k: round(h[k][-1], 5)
                                  for k in ("pred_mse", "cycle_l1")})
     for k, g in GOLDEN_CYCLEGAN.items():
-        assert abs(h[k][-1] - g) / g < 0.01, (k, h[k][-1], g)
+        assert abs(h[k][-1] - g) / g < TOL, (k, h[k][-1], g)
