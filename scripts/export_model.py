@@ -107,10 +107,50 @@ def _export_dcgan(args):
     return fwd, example, meta
 
 
+def _export_cyclegan(args):
+    import jax.numpy as jnp
+    import numpy as np
+
+    from extended_gan_tpu.train.checkpoint import CheckpointManager
+    from extended_gan_tpu.train.cyclegan_driver import build_cyclegan
+
+    imsize = args.imsize or 64
+    ndf = args.ndf or 64
+    # seed only shapes the template init; restore() overwrites every weight
+    models, _, states, _, _, _ = build_cyclegan(
+        nc=4, ndf=ndf, imsize=imsize, seed=369)
+    mgr = CheckpointManager(os.path.join(args.experiment_dir, "checkpoints"))
+    if mgr.latest_step() is None:
+        raise SystemExit(f"no Orbax checkpoints under {args.experiment_dir}; "
+                         f"train with --save-epoch first")
+    restored = mgr.restore(
+        {"states": states, "epoch": 0, "key": np.zeros(2, np.uint32)}
+    )
+    g_model, g_state = (
+        (models[0], restored["states"].g_xy) if args.direction == "xy"
+        else (models[1], restored["states"].g_yx)
+    )
+    variables = {"params": g_state.params}
+    if g_state.batch_stats:
+        variables["batch_stats"] = g_state.batch_stats
+
+    def fwd(x):
+        return g_model.apply(variables, x, train=False)
+
+    example = jnp.zeros((1, imsize, imsize, 4), jnp.float32)
+    meta = {"source": args.experiment_dir,
+            "model_type": f"cyclegan_generator_{args.direction}",
+            "epoch": int(restored["epoch"])}
+    return fwd, example, meta
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("experiment_dir")
-    parser.add_argument("--workload", choices=("gat", "dcgan"), default="gat")
+    parser.add_argument("--workload", choices=("gat", "dcgan", "cyclegan"),
+                        default="gat")
+    parser.add_argument("--direction", choices=("xy", "yx"), default="xy",
+                        help="which CycleGAN generator to export")
     parser.add_argument("--out", type=str, default="")
     parser.add_argument("--width", type=int, default=0)
     parser.add_argument("--height", type=int, default=0)
@@ -139,9 +179,11 @@ def main(argv=None):
         serving_fn,
     )
 
-    fwd, example, meta = (
-        _export_dcgan(args) if args.workload == "dcgan" else _export_gat(args)
-    )
+    fwd, example, meta = {
+        "dcgan": _export_dcgan,
+        "cyclegan": _export_cyclegan,
+        "gat": _export_gat,
+    }[args.workload](args)
     if args.fixed_batch:
         example = np.zeros((args.fixed_batch, *example.shape[1:]),
                            example.dtype)
