@@ -21,6 +21,12 @@ clear error instead of a silent mis-restore. Version history:
 - v2: versioned payload + sidecar; cross-precision restore (a checkpoint
   written from a bf16 run restores into an f32 template and vice versa —
   leaves are cast to the template's dtype).
+- v3: GAN checkpoints carry a fixed-shape ``"mid"`` subtree (mid-epoch
+  preemption: batches completed into the epoch + the epoch's partial
+  metric accumulators), and checkpoint steps are numbered
+  ``epoch * MID_EPOCH_STRIDE + batch`` so a mid-epoch snapshot sorts
+  between its epoch's start and completion. v2 directories restore with
+  a zeroed ``mid`` (epoch-boundary semantics).
 """
 
 from __future__ import annotations
@@ -34,8 +40,36 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-SCHEMA_VERSION = 2
+SCHEMA_VERSION = 3
 _SIDECAR = "schema.json"
+
+# checkpoint step numbering: epoch e, b batches in => e * STRIDE + b.
+# The completion of epoch e is the start of epoch e+1 => (e+1) * STRIDE,
+# which sorts above any mid-epoch snapshot of epoch e.
+MID_EPOCH_STRIDE = 100_000
+
+
+def ckpt_step(epoch: int, batch: int = 0) -> int:
+    """Orbax step id for a snapshot taken ``batch`` batches into ``epoch``
+    (``batch=0`` = at the epoch's start == the previous epoch's end)."""
+    assert 0 <= batch < MID_EPOCH_STRIDE
+    return epoch * MID_EPOCH_STRIDE + batch
+
+
+def empty_mid() -> dict:
+    """The v3 ``mid`` subtree, zeroed (= an epoch-boundary checkpoint).
+
+    Fixed structure so every save/restore template matches: ``batch`` is
+    the number of train batches already consumed in the epoch being
+    resumed (0 = start fresh at ``epoch + 1``), the 2-vectors are the
+    partial (numerator, denominator) metric accumulators of that epoch.
+    """
+    return {
+        "batch": np.int64(0),
+        "mse": np.zeros(2, np.float64),
+        "fd_acc": np.zeros(2, np.float64),
+        "td_acc": np.zeros(2, np.float64),
+    }
 
 
 def _cast_like(template: Any, restored: Any) -> Any:
@@ -110,11 +144,16 @@ class CheckpointManager:
         return os.path.join(self._dir, _SIDECAR)
 
     def _check_sidecar(self):
+        _check_version(self.sidecar_version(), self._dir)
+
+    def sidecar_version(self) -> int:
+        """Schema version the directory was last written with (1 if no
+        sidecar — a bare/legacy Orbax directory)."""
         path = self._sidecar_path()
-        if os.path.exists(path):
-            with open(path) as f:
-                meta = json.load(f)
-            _check_version(int(meta.get("schema_version", 1)), self._dir)
+        if not os.path.exists(path):
+            return 1
+        with open(path) as f:
+            return int(json.load(f).get("schema_version", 1))
 
     def _write_sidecar(self):
         with open(self._sidecar_path(), "w") as f:
@@ -161,6 +200,15 @@ class CheckpointManager:
         self._mgr.close()
 
 
+def gan_restore_template(mgr: "CheckpointManager", states, key_state):
+    """Restore template for a GAN checkpoint directory, matching the
+    schema version it was written with (v3 adds the ``mid`` subtree)."""
+    template = {"states": states, "epoch": 0, "key": np.asarray(key_state)}
+    if mgr.sidecar_version() >= 3:
+        template["mid"] = empty_mid()
+    return template
+
+
 def setup_gan_checkpointing(
     out_dir: str,
     *,
@@ -179,30 +227,41 @@ def setup_gan_checkpointing(
     two drivers' hand-copied versions had already diverged once (the
     cyclegan copy forgot the TP re-shard on restore — round-2 review).
 
-    Returns ``(ckpt_mgr, states, start_epoch, keys, history)``.
+    Returns ``(ckpt_mgr, states, start_epoch, keys, history, mid)`` —
+    ``mid`` is the v3 mid-epoch subtree (see :func:`empty_mid`): when
+    ``mid["batch"] > 0`` the driver must REDO ``start_epoch`` from that
+    batch index (skipping the consumed batches) instead of starting the
+    next epoch.
     """
     from ..core.prng import KeySeq
     from ..utils.history import TrainingHistory
 
     start_epoch = 1
     ckpt_mgr = None
+    mid = empty_mid()
     if out_dir and (resume or save_epoch):
         ckpt_mgr = CheckpointManager(
             os.path.join(out_dir, "checkpoints"), max_to_keep=2
         )
         if resume and ckpt_mgr.latest_step() is not None:
-            restored = ckpt_mgr.restore(
-                {"states": states, "epoch": 0,
-                 "key": np.asarray(keys.state)}
-            )
+            template = gan_restore_template(ckpt_mgr, states, keys.state)
+            restored = ckpt_mgr.restore(template)
             states = place(restored["states"])
-            start_epoch = int(restored["epoch"]) + 1
             keys = KeySeq(jnp.asarray(restored["key"]))
+            mid = restored.get("mid", empty_mid())
+            mid = {k: np.asarray(v) for k, v in mid.items()}
+            if int(mid["batch"]) > 0:
+                start_epoch = int(restored["epoch"])  # redo, mid-way
+                print(f"[resume] restored mid-epoch snapshot: epoch "
+                      f"{start_epoch}, {int(mid['batch'])} batches done; "
+                      f"continuing inside the epoch")
+            else:
+                start_epoch = int(restored["epoch"]) + 1
+                print(f"[resume] restored epoch {start_epoch - 1}; "
+                      f"continuing at {start_epoch}")
             hist_path = os.path.join(out_dir, "history.json")
             if os.path.exists(hist_path):
                 history = TrainingHistory.from_json(
                     hist_path, save_path=history.save_path
                 )
-            print(f"[resume] restored epoch {start_epoch - 1}; "
-                  f"continuing at {start_epoch}")
-    return ckpt_mgr, states, start_epoch, keys, history
+    return ckpt_mgr, states, start_epoch, keys, history, mid

@@ -148,12 +148,14 @@ def train(
     hist_path = os.path.join(out_dir, "history.json")
     from .checkpoint import setup_gan_checkpointing
 
-    ckpt_mgr, states, start_epoch, keys, history = setup_gan_checkpointing(
-        out_dir, resume=resume, save_epoch=save_epoch, states=states,
-        keys=keys, place=place, history=history,
-    )
+    ckpt_mgr, states, start_epoch, keys, history, mid = \
+        setup_gan_checkpointing(
+            out_dir, resume=resume, save_epoch=save_epoch, states=states,
+            keys=keys, place=place, history=history,
+        )
 
     from ..utils.profiling import step_context
+    from .checkpoint import ckpt_step, empty_mid
     from .preempt import GracefulShutdown
 
     step_cm = step_context(profiler)
@@ -164,17 +166,31 @@ def train(
                 data_location, train_batch_size, test_batch_size,
                 seq_len=nc, crop=imsize, seed=seed + epoch,
             )
+            # mid-epoch resume: replay the loader past the consumed
+            # batches (identical RNG draws -> bit-identical continuation)
+            skip = int(mid["batch"]) if epoch == start_epoch else 0
+            train_it = iter(train_loader)
+            if skip:
+                print(f"[resume] skipping {skip} consumed batches of "
+                      f"epoch {epoch}")
+                for _ in range(skip):
+                    next(train_it)
             if max_batches:
                 import itertools
 
-                train_loader = itertools.islice(iter(train_loader), max_batches)
+                train_it = itertools.islice(
+                    train_it, max(max_batches - skip, 0))
 
             train_mse = MetricsManager(("mse",), prefix="train")
+            if skip:
+                train_mse.metrics["mse"] += IncrementalTuple(mid["mse"])
+            n_done = skip
             if profiler is not None:
                 profiler.start_epoch()
             pending = []
+            interrupted = False
             for i, (x, y, mask) in enumerate(
-                _feed(train_loader, mesh, train_batch_size, spatial=spatial)
+                _feed(train_it, mesh, train_batch_size, spatial=spatial)
             ):
                 with step_cm():
                     states, logs = step(states, x, y, mask, keys.next())
@@ -186,10 +202,30 @@ def train(
                         f"Loss_DX: {float(logs['d_x_loss']):.4f}\t"
                         f"Loss_DY: {float(logs['d_y_loss']):.4f}"
                     )
+                if shutdown.requested:
+                    interrupted = True
+                    n_done += i + 1
+                    break
             import jax
 
             for nd in jax.device_get(pending):
                 train_mse.metrics["mse"] += IncrementalTuple(nd)
+            if interrupted:
+                # step-granular preemption: snapshot inside the epoch
+                if ckpt_mgr is not None:
+                    m = empty_mid()
+                    m["batch"] = np.int64(n_done)
+                    m["mse"] = train_mse.metrics["mse"].val.copy()
+                    ckpt_mgr.save(
+                        ckpt_step(epoch, n_done),
+                        {"states": states, "epoch": epoch,
+                         "key": np.asarray(keys.state), "mid": m},
+                    )
+                    history.to_json(hist_path)
+                print(f"[preempt] stopped resumably mid-epoch {epoch} "
+                      f"({n_done} batches in)")
+                break
+            mid = empty_mid()
             prof_stats = {}
             if profiler is not None:
                 prof_stats = profiler.end_epoch()
@@ -231,10 +267,12 @@ def train(
                 (save_epoch and epoch % save_epoch == 0) or epoch == epochs
                 or preempted
             ):
+                # epoch-boundary snapshot == start of epoch+1 (sorts above
+                # any mid-epoch snapshot of this epoch)
                 ckpt_mgr.save(
-                    epoch,
+                    ckpt_step(epoch + 1, 0),
                     {"states": states, "epoch": epoch,
-                     "key": np.asarray(keys.state)},
+                     "key": np.asarray(keys.state), "mid": empty_mid()},
                 )
                 history.to_json(hist_path)
             if preempted:

@@ -159,11 +159,13 @@ def train(
     hist_path = os.path.join(out_dir, "history.json")
     from .checkpoint import setup_gan_checkpointing
 
-    ckpt_mgr, states, start_epoch, keys, history = setup_gan_checkpointing(
-        out_dir, resume=resume, save_epoch=save_epoch, states=states,
-        keys=keys, place=place, history=history,
-    )
+    ckpt_mgr, states, start_epoch, keys, history, mid = \
+        setup_gan_checkpointing(
+            out_dir, resume=resume, save_epoch=save_epoch, states=states,
+            keys=keys, place=place, history=history,
+        )
 
+    from .checkpoint import ckpt_step, empty_mid
     from .preempt import GracefulShutdown
 
     shutdown = GracefulShutdown().__enter__()
@@ -178,12 +180,22 @@ def train(
                 out_seq_len=params["nc"],
                 seed=seed + epoch,
             )
+            # mid-epoch resume: replay the loader past the consumed
+            # batches (identical RNG draws -> bit-identical continuation)
+            skip = int(mid["batch"]) if epoch == start_epoch else 0
+            train_it = iter(train_loader)
+            if skip:
+                print(f"[resume] skipping {skip} consumed batches of "
+                      f"epoch {epoch}")
+                for _ in range(skip):
+                    next(train_it)
             if max_batches:
                 import itertools
 
-                train_loader = itertools.islice(iter(train_loader), max_batches)
-            states, train_result = train_single_epoch(
-                dataloader=train_loader,
+                train_it = itertools.islice(
+                    train_it, max(max_batches - skip, 0))
+            states, train_result, mid_out = train_single_epoch(
+                dataloader=train_it,
                 states=states,
                 step=step,
                 mesh=mesh,
@@ -192,7 +204,24 @@ def train(
                 epoch=epoch,
                 profiler=profiler,
                 spatial=spatial,
+                shutdown=shutdown,
+                init_metrics=mid if skip else None,
             )
+            if mid_out is not None:
+                # step-granular preemption: snapshot inside the epoch
+                if ckpt_mgr is not None:
+                    import numpy as np
+
+                    ckpt_mgr.save(
+                        ckpt_step(epoch, int(mid_out["batch"])),
+                        {"states": states, "epoch": epoch,
+                         "key": np.asarray(keys.state), "mid": mid_out},
+                    )
+                    history.to_json(hist_path)
+                print(f"[preempt] stopped resumably mid-epoch {epoch} "
+                      f"({int(mid_out['batch'])} batches in)")
+                break
+            mid = empty_mid()
             test_result = test(
                 test_loader, states, eval_step, mesh, test_batch_size, epoch,
                 img_path=img_path, spatial=spatial,
@@ -210,10 +239,12 @@ def train(
             ):
                 import numpy as np
 
+                # epoch-boundary snapshot == start of epoch+1 (sorts above
+                # any mid-epoch snapshot of this epoch)
                 ckpt_mgr.save(
-                    epoch,
+                    ckpt_step(epoch + 1, 0),
                     {"states": states, "epoch": epoch,
-                     "key": np.asarray(keys.state)},
+                     "key": np.asarray(keys.state), "mid": empty_mid()},
                 )
                 history.to_json(hist_path)
             if preempted:

@@ -310,11 +310,31 @@ def train_single_epoch(
     log_every: int = 50,
     profiler=None,
     spatial: bool = False,
+    shutdown=None,
+    init_metrics: dict | None = None,
 ):
-    """== dcgan/train.py:80-175 (one epoch of fused adversarial steps)."""
+    """== dcgan/train.py:80-175 (one epoch of fused adversarial steps).
+
+    Returns ``(states, results, mid)``. Normally ``mid`` is None; when
+    ``shutdown.requested`` fires mid-epoch the loop stops after the
+    current step and ``mid`` carries the step-granular snapshot payload
+    (batches consumed + partial metric accumulators — the v3 checkpoint
+    ``mid`` subtree) with ``results`` None. ``init_metrics`` (a restored
+    ``mid``) seeds the accumulators when the driver resumes inside an
+    epoch; the driver is responsible for skipping the already-consumed
+    batches in ``dataloader``.
+    """
+    import numpy as np
+
     pred_metrics = MetricsManager(("mse",), prefix="train")
     inc_acc_fd = IncrementalTuple()
     inc_acc_td = IncrementalTuple()
+    n_done = 0
+    if init_metrics is not None and int(init_metrics["batch"]) > 0:
+        n_done = int(init_metrics["batch"])
+        pred_metrics.metrics["mse"] += IncrementalTuple(init_metrics["mse"])
+        inc_acc_fd += IncrementalTuple(init_metrics["fd_acc"])
+        inc_acc_td += IncrementalTuple(init_metrics["td_acc"])
     if profiler is not None:
         profiler.start_epoch()
     # Per-batch device->host fetches cost a full round trip each (tens of
@@ -324,6 +344,7 @@ def train_single_epoch(
 
     step_cm = step_context(profiler)
     pending = []
+    interrupted = False
     for i, (x, y, mask) in enumerate(
         _feed(dataloader, mesh, batch_size, spatial=spatial)
     ):
@@ -336,10 +357,23 @@ def train_single_epoch(
                 f"Loss_TD: {float(logs['errTD']):.4f}\t"
                 f"Loss_G: {float(logs['errG']):.4f}\t"
             )
+        if shutdown is not None and shutdown.requested:
+            interrupted = True
+            n_done += i + 1
+            break
     for logs in jax.device_get(pending):
         pred_metrics.metrics["mse"] += IncrementalTuple(logs["train_mse_nd"])
         inc_acc_fd += IncrementalTuple(logs["fd_acc_nd"])
         inc_acc_td += IncrementalTuple(logs["td_acc_nd"])
+    if interrupted:
+        mid = {
+            "batch": np.int64(n_done),
+            "mse": pred_metrics.metrics["mse"].val.copy(),
+            "fd_acc": inc_acc_fd.val.copy(),
+            "td_acc": inc_acc_td.val.copy(),
+        }
+        print(f"[preempt] epoch {epoch} interrupted after {n_done} batches")
+        return states, None, mid
     # the reference computes these per step and discards them
     # (dcgan/train.py:105-107 accumulators never reported); reporting them
     # makes the work the step already does observable
@@ -351,7 +385,7 @@ def train_single_epoch(
         prof_stats = profiler.end_epoch()
         print(f"Step timing: {json.dumps(prof_stats)}")
         results |= prof_stats
-    return states, results
+    return states, results, None
 
 
 def test(

@@ -25,12 +25,24 @@ from ..utils.viz import visualize_gat_predictions
 from .checkpoint import save_model
 from .gat_trainer import (
     _prep_gat_batch,
+    gat_feed,
     make_gat_eval_step,
     make_gat_train_step,
     test,
 )
 from .optim import ReduceLROnPlateau, StepLR, make_optimizer, set_learning_rate
 from .state import create_net_state, param_count
+
+
+def _empty_gat_mid() -> dict:
+    """Fixed-shape v3 mid-epoch subtree for the GAT trainer: batches
+    consumed into the epoch + the partial running-loss numerator and
+    sample-count denominator (all zero = epoch-boundary semantics)."""
+    return {
+        "batch": np.int64(0),
+        "loss": np.float64(0.0),
+        "total": np.int64(0),
+    }
 
 
 def train_single_epoch(
@@ -49,34 +61,70 @@ def train_single_epoch(
     profiler=None,
     spatial: bool = False,
     train_batch_size: int | None = None,
+    shutdown=None,
+    start_batch: int = 0,
+    init_running: tuple[float, int] = (0.0, 0),
 ):
-    """== convolutional_gat/train.py:94-155."""
+    """== convolutional_gat/train.py:94-155.
+
+    Returns ``(state, test_result, mid)``. ``mid`` is None normally; when
+    ``shutdown.requested`` fires mid-epoch the loop stops after the
+    current step and ``mid`` carries the step-granular snapshot (batches
+    consumed + partial loss numerator/denominator). On resume the driver
+    passes ``start_batch`` (loader batches to replay-skip — identical RNG
+    draws -> bit-identical continuation) and ``init_running`` (the
+    restored partial sums).
+    """
     train_loader, val_loader, _test_loader = loader_factory(epoch=epoch)
     print(f"\nEpoch: {epoch}")
     print(f"LR: {scheduler.current()}")
-    running_loss = 0.0
-    total_length = 0
+    running_loss, total_length = float(init_running[0]), int(init_running[1])
     from ..utils.profiling import step_context
 
     step_cm = step_context(profiler)
     if profiler is not None:
         profiler.start_epoch()
+    train_it = iter(train_loader)
+    if start_batch:
+        print(f"[resume] skipping {start_batch} consumed batches of "
+              f"epoch {epoch}")
+        for _ in range(start_batch):
+            next(train_it)
     pending = []  # device scalars; single fetch at epoch end (RTT-bound)
-    for i, (x, y) in enumerate(train_loader):
-        if max_batches and i >= max_batches:
+    interrupted = False
+    n_done = start_batch
+    for i, (n, batch) in enumerate(
+        gat_feed(train_it, mesh, spatial=spatial,
+                 batch_size=train_batch_size)
+    ):
+        if max_batches and i >= max_batches - start_batch:
             break
-        if len(x) <= 1:
+        if n <= 1:
+            if shutdown is not None and shutdown.requested:
+                interrupted = True
+                n_done += i + 1
+                break
             continue
-        xd, yd, mask = _prep_gat_batch(mesh, x, y, spatial=spatial,
-                                       batch_size=train_batch_size)
+        xd, yd, mask = batch
         with step_cm():
             state, logs = step(state, xd, yd, mask, keys.next())
         pending.append(logs["running_nd"])
-        total_length += len(x)
+        total_length += n
+        if shutdown is not None and shutdown.requested:
+            interrupted = True
+            n_done += i + 1
+            break
     import jax
 
     for nd in jax.device_get(pending):
         running_loss += nd[0]
+    if interrupted:
+        print(f"[preempt] epoch {epoch} interrupted after {n_done} batches")
+        return state, None, {
+            "batch": n_done,
+            "loss": float(running_loss),
+            "total": int(total_length),
+        }
     if profiler is not None:
         prof_stats = profiler.end_epoch()
         print(f"Step timing: {json.dumps(prof_stats)}")
@@ -105,7 +153,7 @@ def train_single_epoch(
                 state.params,
                 state.batch_stats,
             )
-    return state, test_result
+    return state, test_result, None
 
 
 def train(
@@ -236,6 +284,7 @@ def train(
     history: dict = {"train_loss": []}
     start_epoch = 1
     ckpt_mgr = None
+    mid = _empty_gat_mid()
     if output_path and (resume or checkpoint_every):
         from .checkpoint import CheckpointManager
 
@@ -246,20 +295,35 @@ def train(
             template = {"state": state, "epoch": 0, "lr": learning_rate,
                         "best": float("inf"),
                         "key": np.asarray(keys.state)}
+            if ckpt_mgr.sidecar_version() >= 3:
+                template["mid"] = _empty_gat_mid()
             try:
                 restored = ckpt_mgr.restore(template)
             except Exception:
                 # pre-round-2 checkpoints carry no PRNG stream
                 template.pop("key")
+                template.pop("mid", None)
                 restored = ckpt_mgr.restore(template)
                 print("[resume] old checkpoint without a PRNG stream; "
                       "dropout keys restart from the seed")
             if "key" in restored:
                 keys = KeySeq(jnp.asarray(restored["key"]))
             state = place(restored["state"])
-            start_epoch = int(restored["epoch"]) + 1
+            mid = restored.get("mid", _empty_gat_mid())
+            mid = {k: np.asarray(v) for k, v in mid.items()}
+            if int(mid["batch"]) > 0:
+                start_epoch = int(restored["epoch"])  # redo, mid-way
+                print(f"[resume] restored mid-epoch snapshot: epoch "
+                      f"{start_epoch}, {int(mid['batch'])} batches done; "
+                      f"continuing inside the epoch")
+            else:
+                start_epoch = int(restored["epoch"]) + 1
+                print(f"[resume] restored epoch {start_epoch - 1}; "
+                      f"continuing at {start_epoch}")
             # restore the schedule, not just the value: StepLR derives the
             # LR from its epoch counter; plateau carries lr + best metric
+            # (mid-epoch snapshots hold the PRE-epoch schedule: the
+            # scheduler only steps at the epoch's validation pass)
             if isinstance(scheduler, ReduceLROnPlateau):
                 scheduler.lr = float(restored["lr"])
                 best = float(restored.get("best", float("inf")))
@@ -271,8 +335,6 @@ def train(
             if os.path.exists(hist_path):
                 with open(hist_path) as f:
                     history = json.load(f)
-            print(f"[resume] restored epoch {start_epoch - 1}; "
-                  f"continuing at {start_epoch}")
 
     if test_first:
         tr_l, _, te_l = loader_factory()
@@ -285,16 +347,40 @@ def train(
 
     from .preempt import GracefulShutdown
 
+    from .checkpoint import ckpt_step
+
     shutdown = GracefulShutdown().__enter__()
     try:
         for epoch in range(start_epoch, epochs + 1):
-            state, _ = train_single_epoch(
+            skip = int(mid["batch"]) if epoch == start_epoch else 0
+            state, _, mid_out = train_single_epoch(
                 epoch=epoch, step=step, eval_step=eval_step, state=state,
                 scheduler=scheduler, mesh=mesh, keys=keys, history=history,
                 output_path=output_path, loader_factory=loader_factory,
                 max_batches=max_batches, profiler=profiler, spatial=spatial,
-                train_batch_size=train_batch_size,
+                train_batch_size=train_batch_size, shutdown=shutdown,
+                start_batch=skip,
+                init_running=(float(mid["loss"]), int(mid["total"]))
+                if skip else (0.0, 0),
             )
+            if mid_out is not None:
+                # step-granular preemption: snapshot inside the epoch
+                if ckpt_mgr is not None:
+                    best = getattr(scheduler, "best", None)
+                    ckpt_mgr.save(
+                        ckpt_step(epoch, int(mid_out["batch"])),
+                        {"state": state, "epoch": epoch,
+                         "lr": float(scheduler.current()),
+                         "best": float("inf") if best is None
+                         else float(best),
+                         "key": np.asarray(keys.state),
+                         "mid": {k: np.asarray(v)
+                                 for k, v in mid_out.items()}},
+                    )
+                print(f"[preempt] stopped resumably mid-epoch {epoch} "
+                      f"({int(mid_out['batch'])} batches in)")
+                break
+            mid = _empty_gat_mid()
             if output_path:
                 _, viz_loader, _ = loader_factory(2, 2)
                 visualize_gat_predictions(
@@ -315,14 +401,17 @@ def train(
                 or epoch == epochs or preempted
             ):
                 best = getattr(scheduler, "best", None)
+                # epoch-boundary snapshot == start of epoch+1 (sorts above
+                # any mid-epoch snapshot of this epoch)
                 ckpt_mgr.save(
-                    epoch,
+                    ckpt_step(epoch + 1, 0),
                     {"state": state, "epoch": epoch,
                      "lr": float(scheduler.current()),
                      "best": float("inf") if best is None else float(best),
                      # the dropout-key stream: a resumed run must CONTINUE
                      # it, not replay epochs 1..N's masks from the seed
-                     "key": np.asarray(keys.state)},
+                     "key": np.asarray(keys.state),
+                     "mid": _empty_gat_mid()},
                 )
             if preempted:
                 print(f"[preempt] stopped resumably after epoch {epoch}")

@@ -145,6 +145,31 @@ def _prep_gat_batch(mesh, x, y, spatial=False, batch_size=None):
     return put(x, y, mask)
 
 
+def gat_feed(loader, mesh, *, spatial=False, batch_size=None, depth=2):
+    """Background host->device feed for the GAT loaders.
+
+    Pads, lays out, and shards each (x, y) batch OFF the training thread
+    (the role :class:`~extended_gan_tpu.data.streaming.Prefetcher` plays
+    for the GAN trainers' ``_feed``): loader IO + the host->device
+    transfer overlap device compute instead of serializing with it — a
+    synchronous per-batch ``device_put`` costs a full link RTT per step
+    over a remote-attached chip. Yields ``(n_samples, (xd, yd, mask))``;
+    ``n_samples <= 1`` batches yield ``(n, None)`` so the caller can skip
+    them (reference convolutional_gat/train.py:119-120 semantics).
+    """
+    from ..data.streaming import Prefetcher
+
+    def prepare(item):
+        x, y = item
+        n = len(x)
+        if n <= 1:
+            return n, None
+        return n, _prep_gat_batch(mesh, x, y, spatial=spatial,
+                                  batch_size=batch_size)
+
+    return Prefetcher(iter(loader), depth=depth, transfer=prepare)
+
+
 def test(eval_step, state, loader, mesh, *, flag: str = "val",
          spatial: bool = False, batch_size: int | None = None):
     """Validation-set evaluation == convolutional_gat/train.py:28-91."""
@@ -155,19 +180,30 @@ def test(eval_step, state, loader, mesh, *, flag: str = "val",
     total = 0
     power = float(getattr(loader, "power", 1.0))
     norm_max = float(getattr(loader, "normalizing_max", 1.0))
-    pending = []  # scalar metrics stay on device; ONE fetch at the end
-    for x, y in loader:
-        if len(x) <= 1:
-            continue
+
+    from ..data.streaming import Prefetcher
+
+    def prepare(item):
+        x, y = item
+        n = len(x)
+        if n <= 1:
+            return n, None, None
         y_p = np.asarray(y, np.float32) ** (1.0 / power)
         unique = np.unique(y_p)
         threshold = float(unique[int(len(unique) * 0.5)])  # :60-61
-        xd, yd, mask = _prep_gat_batch(mesh, x, y, spatial=spatial,
-                                       batch_size=batch_size)
+        return n, threshold, _prep_gat_batch(
+            mesh, x, y, spatial=spatial, batch_size=batch_size)
+
+    pending = []  # scalar metrics stay on device; ONE fetch at the end
+    for n, threshold, batch in Prefetcher(iter(loader), depth=2,
+                                          transfer=prepare):
+        if n <= 1:
+            continue
+        xd, yd, mask = batch
         out = eval_step(state, xd, yd, mask, threshold, norm_max,
                         power=power)
         pending.append({k: v for k, v in out.items() if k != "y_hat"})
-        total += len(x)
+        total += n
     for out in jax.device_get(pending):
         running_loss += float(out["loss_num"])
         running_denorm += float(out["denorm_num"])

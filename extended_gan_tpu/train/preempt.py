@@ -6,12 +6,16 @@ the best-val ``model.pt`` on any interruption
 (``/root/reference/convolutional_gat/train.py:151-155`` is save-only; the
 GAN trainers save nothing — SURVEY §5 "failure detection: none").
 
-Here every driver polls a :class:`GracefulShutdown` at each epoch
-boundary: after a caught SIGTERM the driver writes a FULL resumable
-checkpoint (same schema as the cadence snapshots — params, opt state,
-PRNG stream, epoch, scheduler) and returns cleanly; ``--resume`` then
-continues bit-exactly. The grace window therefore needs to cover at most
-one epoch tail plus one Orbax save.
+Here every driver polls a :class:`GracefulShutdown` after EVERY training
+step: a caught SIGTERM stops the epoch mid-way and writes a FULL
+resumable checkpoint (params, opt state, PRNG stream, epoch, scheduler,
+plus the v3 ``mid`` subtree: batches consumed into the epoch + the
+epoch's partial metric accumulators); ``--resume`` rebuilds the epoch's
+loader, replay-skips the consumed batches (identical RNG draws), and
+continues BIT-IDENTICALLY to an uninterrupted run
+(tests/test_preempt.py's mid-epoch cases assert exact history and
+parameter equality). The grace window therefore needs to cover one
+training step plus one Orbax save — not an epoch tail.
 
 The handler only installs from the main thread (signal.signal raises
 elsewhere); off-main-thread use degrades to a never-requested no-op, which

@@ -89,8 +89,10 @@ def _export_dcgan(args):
                          f"train with --save-epoch first")
     import numpy as np
 
+    from extended_gan_tpu.train.checkpoint import gan_restore_template
+
     restored = mgr.restore(
-        {"states": states, "epoch": 0, "key": np.zeros(2, np.uint32)}
+        gan_restore_template(mgr, states, np.zeros(2, np.uint32))
     )
     g_model, g_state = models[0], restored["states"].g
     variables = {"params": g_state.params}
@@ -123,8 +125,10 @@ def _export_cyclegan(args):
     if mgr.latest_step() is None:
         raise SystemExit(f"no Orbax checkpoints under {args.experiment_dir}; "
                          f"train with --save-epoch first")
+    from extended_gan_tpu.train.checkpoint import gan_restore_template
+
     restored = mgr.restore(
-        {"states": states, "epoch": 0, "key": np.zeros(2, np.uint32)}
+        gan_restore_template(mgr, states, np.zeros(2, np.uint32))
     )
     g_model, g_state = (
         (models[0], restored["states"].g_xy) if args.direction == "xy"

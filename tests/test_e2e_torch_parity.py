@@ -620,7 +620,7 @@ def test_e2e_dcgan_torch_parity():
             return states, logs
 
     for _ in range(EPOCHS):
-        states, train_result = train_single_epoch(
+        states, train_result, _mid = train_single_epoch(
             dataloader=list(train_batches), states=states,
             step=_CaptureStep(), mesh=mesh, batch_size=B,
             rng_keys=keys, epoch=1, log_every=1000,
