@@ -15,6 +15,23 @@ bench:
 bench-all:
 	python scripts/bench_all.py
 
+# host-loader vs pipeline-fed vs device-resident decomposition (BENCH_NOTES)
+bench-pipeline:
+	python scripts/bench_pipeline.py
+
+# hardware-independent loopback artifact-execution latency
+bench-serving-loopback:
+	python scripts/bench_serving.py --cpu
+
+# refresh BASELINE_DERIVATION.json (derived V100 denominators for bench.py)
+derive-baseline:
+	python scripts/derive_v100_baseline.py --write
+
+# retrain demo/final experiments on the synthetic demo archive and refresh
+# compare_models/results
+regen-demo-artifacts:
+	python scripts/regen_demo_artifacts.py
+
 demo-dcgan:
 	python -m dcgan --epochs 1 --max-batches 10 --synthetic
 

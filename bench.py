@@ -178,7 +178,7 @@ def bench_dcgan_pipeline(batch=32, n_steps=40):
 
 # --------------------------------------------------------------- conv-GAT
 
-def _gat_setup(batch=32, precision="f32"):
+def _gat_setup(batch=32, precision="f32", hw=20):
     import jax.numpy as jnp
     import numpy as np
 
@@ -191,30 +191,30 @@ def _gat_setup(batch=32, precision="f32"):
 
     mesh = MeshContext.create(data=1, model=1)
     dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
-    model = build_model("temporal", image_width=20, image_height=20,
+    model = build_model("temporal", image_width=hw, image_height=hw,
                         n_vertices=6, mapping_type="conv", dtype=dtype)
     tx = adam(1e-3, weight_decay=0.01)
     ks = KeySeq(0)
     state = create_net_state(model, tx, ks.next(),
-                             jnp.zeros((2, 20, 20, 4, 6)))
+                             jnp.zeros((2, hw, hw, 4, 6)))
     state = mesh.put_replicated(state)
     step = make_gat_train_step(model, tx)
     rng = np.random.RandomState(0)
     args = mesh.put_batch(
-        rng.rand(batch, 20, 20, 4, 6).astype(np.float32),
-        rng.rand(batch, 20, 20, 4, 6).astype(np.float32),
+        rng.rand(batch, hw, hw, 4, 6).astype(np.float32),
+        rng.rand(batch, hw, hw, 4, 6).astype(np.float32),
         np.ones(batch, np.float32),
     )
     return mesh, step, state, args, ks
 
 
-def bench_conv_gat(batch=32, precision="f32"):
-    _, step, state, args, ks = _gat_setup(batch, precision)
+def bench_conv_gat(batch=32, precision="f32", hw=20):
+    _, step, state, args, ks = _gat_setup(batch, precision, hw=hw)
     stats, _ = _time_step(step, state, args, ks)
     return stats
 
 
-def bench_gat_pipeline(batch=32, n_steps=25):
+def bench_gat_pipeline(batch=32, n_steps=25, hw=20):
     """Real conv-GAT input path: on-disk KNMI-format archive (80x80 int16
     .pt files) -> KmniLoader (+native C++ window core) cropping to 20x20 ->
     Prefetcher -> fused step."""
@@ -225,14 +225,14 @@ def bench_gat_pipeline(batch=32, n_steps=25):
     from extended_gan_tpu.data.synthetic import ensure_synthetic_kmni
     from extended_gan_tpu.train.gat_trainer import gat_feed
 
-    mesh, step, state, _, _ = _gat_setup(batch)
+    mesh, step, state, _, _ = _gat_setup(batch, hw=hw)
     ks = KeySeq(0)
     folder = ensure_synthetic_kmni(
         None, n_train_files=8, frames_per_file=16 + (batch * n_steps) // 8,
         n_test_files=1, hw=80)
     train_loader, _, _ = get_loaders(
         batch, batch, folder, None, dataset="kmni",
-        downsample_size=(20, 20), merge_nodes=False, shuffle=True, seed=1)
+        downsample_size=(hw, hw), merge_nodes=False, shuffle=True, seed=1)
     feed = gat_feed(train_loader, mesh, batch_size=batch)
     _, (xd, yd, m) = next(feed)  # warm: file open + window index
     state, logs = step(state, xd, yd, m, ks.next())

@@ -557,11 +557,30 @@ class Prefetcher:
     """Depth-N background prefetch of any (x, y) iterator, optionally doing
     the sharded device transfer off the training thread so host IO overlaps
     device compute (the async-input-pipeline role torch DataLoader workers
-    play in the reference's world)."""
+    play in the reference's world).
 
-    def __init__(self, it: Iterator, depth: int = 2, transfer=None):
-        self._q: queue.Queue = queue.Queue(maxsize=depth)
+    ``threaded`` controls whether a background thread is used at all.
+    Default (None) auto-selects by core count: with <= 2 cores there is
+    no spare core for the prefetch thread — the device runtime's own
+    background threads (RPC completion handling on a remote-attached
+    chip) already compete for the CPU, and the thread's GIL ping-pong
+    measured 3-4x SLOWER than plain inline iteration (BENCH_NOTES round
+    3, pipeline section) — so the Prefetcher degenerates to a
+    synchronous iterator applying ``transfer`` inline. Semantics
+    (ordering, error propagation, StopIteration) are identical either
+    way.
+    """
+
+    def __init__(self, it: Iterator, depth: int = 2, transfer=None,
+                 threaded: bool | None = None):
+        if threaded is None:
+            threaded = (os.cpu_count() or 1) > 2
         self._transfer = transfer
+        self._threaded = threaded
+        if not threaded:
+            self._it = it
+            return
+        self._q: queue.Queue = queue.Queue(maxsize=depth)
 
         def run():
             try:
@@ -582,6 +601,11 @@ class Prefetcher:
         return self
 
     def __next__(self):
+        if not self._threaded:
+            item = next(self._it)  # StopIteration propagates
+            if self._transfer is not None:
+                item = self._transfer(item)
+            return item
         item = self._q.get()
         if item is None:
             raise StopIteration

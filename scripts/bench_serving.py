@@ -7,7 +7,14 @@ StableHLO artifact, stands up the HTTP server in-process, and measures:
 - HTTP POST /predict end-to-end latency p50/p95 and throughput at a few
   batch sizes (after bucket warm-up).
 
+Over the axon relay the direct numbers are RTT-dominated (~29 ms/call —
+BENCH_NOTES round 2); ``--cpu`` forces the CPU backend so the direct rows
+become a hardware-independent LOOPBACK artifact-execution latency (pure
+Exported.call + XLA:CPU execute, no link in the path) — the number a
+skeptic can reproduce anywhere.
+
 Usage: python scripts/bench_serving.py [--batches 1 8 32] [--requests 50]
+       python scripts/bench_serving.py --cpu   # loopback artifact latency
 """
 
 from __future__ import annotations
@@ -29,7 +36,15 @@ def main(argv=None):
     parser.add_argument("--batches", type=int, nargs="*", default=(1, 8, 32))
     parser.add_argument("--requests", type=int, default=50)
     parser.add_argument("--hw", type=int, default=20)
+    parser.add_argument("--cpu", action="store_true",
+                        help="run on the CPU backend: loopback "
+                             "artifact-execution latency, no device link")
     args = parser.parse_args(argv)
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     import numpy as np
 
@@ -67,7 +82,10 @@ def main(argv=None):
     save_exported(export_forward(fwd, np.zeros((1, hw, hw, 4, 6),
                                                np.float32)), path)
 
-    results: dict = {"geometry": f"{hw}x{hw}x4x6"}
+    import jax
+
+    results: dict = {"geometry": f"{hw}x{hw}x4x6",
+                     "backend": jax.devices()[0].platform}
     rng = np.random.default_rng(0)
 
     # ---- direct (no HTTP) floor
