@@ -157,6 +157,28 @@ def test_prefetcher_propagates_errors():
         next(p)
 
 
+@pytest.mark.parametrize("threaded", [True, False])
+def test_prefetcher_threaded_and_inline_identical(threaded):
+    """Both placements (background thread on multi-core hosts, inline on
+    <=2-core hosts) must preserve ordering, apply `transfer` exactly once
+    per item, and propagate mid-stream errors at the right position."""
+    def gen():
+        for i in range(4):
+            yield i
+        raise RuntimeError("late")
+
+    seen = []
+    p = Prefetcher(gen(), depth=2,
+                   transfer=lambda i: seen.append(i) or i * 10,
+                   threaded=threaded)
+    out = []
+    with pytest.raises(RuntimeError):
+        for item in p:
+            out.append(item)
+    assert out == [0, 10, 20, 30]
+    assert seen == [0, 1, 2, 3]
+
+
 def test_arai_native_matches_numpy_path(tmp_path):
     """ARAI native fast path (fused C++ gather) == the numpy/transpose
     path, batch for batch."""

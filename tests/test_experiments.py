@@ -143,7 +143,7 @@ def test_all_committed_experiment_configs_parse():
         "convolutional_gat", "experiments",
     )
     names = sorted(os.listdir(base))
-    assert len(names) >= 21  # 19+ ref-parity dirs + demo/synthetic
+    assert len(names) >= 36  # 33 ref-parity dirs (incl. legacy) + demo/synthetic
     from extended_gan_tpu.models.registry import model_classes
 
     for name in names:
