@@ -57,3 +57,17 @@ def test_predict_cli_synthetic(tmp_path):
     assert data["predictions"].shape[1:] == (16, 16, 4, 6)
     # summary must be JSON-clean (the CLI prints it)
     json.dumps(summary)
+
+
+@pytest.mark.slow
+def test_plot_image_cli(tmp_path):
+    """plot_image (the working form of the reference's abandoned
+    plot_image.py draft): experiment dir + checkpoint -> pred_N.png grid."""
+    from convolutional_gat.plot_image import main
+
+    exp = os.path.join(REPO, "convolutional_gat", "experiments",
+                       "synthetic_smoke")
+    out = main([exp, "--dataset", "synthetic", "--raininess", "0.2",
+                "--epoch", "3", "--out", str(tmp_path)])
+    assert out == str(tmp_path / "pred_3.png")
+    assert os.path.exists(out)

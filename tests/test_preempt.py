@@ -182,3 +182,51 @@ def test_gat_mid_epoch_preempt_bit_identical_resume(tmp_path, monkeypatch):
     for a, b in zip(jax.tree_util.tree_leaves(s_ref.params),
                     jax.tree_util.tree_leaves(s_res.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.slow
+def test_cyclegan_mid_epoch_preempt_bit_identical_resume(tmp_path,
+                                                         monkeypatch):
+    """CycleGAN step-granular preemption: interrupt inside epoch 2,
+    resume, match the uninterrupted run exactly (history + G_xy params)."""
+    import jax
+    import numpy as np
+
+    from extended_gan_tpu.train import preempt
+    from extended_gan_tpu.train.checkpoint import MID_EPOCH_STRIDE
+    from extended_gan_tpu.train.cyclegan_driver import train
+
+    common = dict(
+        epochs=3, train_batch_size=8, test_batch_size=8, max_batches=4,
+        imsize=64, ndf=8, synthetic=True, seed=29, save_epoch=10,
+    )
+
+    s_ref, h_ref = train(**common, out_dir=str(tmp_path / "ref"))
+
+    # reads: e1 b1..b4 -> 1..4, e1 tail -> 5, e2 b1 -> 6, e2 b2 -> 7
+    real_shutdown = preempt.GracefulShutdown
+    monkeypatch.setattr(
+        preempt, "GracefulShutdown", lambda: _CountingShutdown(7))
+    out = str(tmp_path / "run")
+    _, h1 = train(**common, out_dir=out)
+    assert len(h1.history["pred_mse"]) == 1, "epoch 2 should be partial"
+
+    from extended_gan_tpu.train.checkpoint import CheckpointManager
+
+    mgr = CheckpointManager(os.path.join(out, "checkpoints"))
+    assert mgr.latest_step() == 2 * MID_EPOCH_STRIDE + 2
+    mgr.close()
+
+    monkeypatch.setattr(preempt, "GracefulShutdown", real_shutdown)
+    s_res, h_res = train(**common, out_dir=out, resume=True)
+
+    for key in h_ref.history:
+        np.testing.assert_array_equal(
+            np.asarray(h_ref.history[key]), np.asarray(h_res.history[key]),
+            err_msg=f"history[{key}] diverged after mid-epoch resume")
+    for net in ("g_xy", "g_yx", "d_x"):
+        for a, b in zip(
+            jax.tree_util.tree_leaves(getattr(s_ref, net).params),
+            jax.tree_util.tree_leaves(getattr(s_res, net).params),
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
