@@ -36,6 +36,11 @@ def main():
     parser.add_argument("--spatial", action="store_true",
                         help="stripe the frame-width axis over the model "
                              "axis (SP; params replicated)")
+    parser.add_argument("--megastep", type=int, default=0,
+                        help="K>1: scan K train steps into ONE XLA "
+                             "program (amortizes per-program dispatch "
+                             "overhead K-ways; decisive on remote-"
+                             "attached chips — config key MEGASTEP)")
     parser.add_argument("--profile", action="store_true",
                         help="record per-epoch step timing (steps/sec, "
                              "dispatch latency) into history.json")
@@ -72,6 +77,7 @@ def main():
             max_batches=args.max_batches,
             data_axis=args.data_axis,
             model_axis=args.model_axis,
+            megastep=args.megastep,
             profile=args.profile,
             profile_trace_dir=args.profile_trace_dir,
         )
@@ -89,6 +95,7 @@ def main():
             profile=args.profile or None,
             profile_trace_dir=args.profile_trace_dir or None,
             spatial=args.spatial or None,
+            megastep=args.megastep or None,
         )
         if args.model_axis != 1:
             overrides["model_axis"] = args.model_axis

@@ -31,6 +31,11 @@ def main():
                         help="shard the frame-height axis over the model "
                              "axis (SP; params replicated, XLA inserts "
                              "conv halo exchanges)")
+    parser.add_argument("--megastep", type=int, default=0,
+                        help="K>1: scan K adversarial steps into ONE XLA "
+                             "program (amortizes per-program dispatch "
+                             "overhead K-ways; decisive on remote-"
+                             "attached chips)")
     parser.add_argument("--profile", action="store_true",
                         help="record per-epoch step timing into the history")
     parser.add_argument("--profile-trace-dir", type=str, default="",
@@ -65,6 +70,7 @@ def main():
         model_axis=args.model_axis,
         tp_min_channels=args.tp_min_channels,
         spatial=args.spatial,
+        megastep=args.megastep,
         profile=args.profile,
         profile_trace_dir=args.profile_trace_dir,
     )

@@ -87,6 +87,7 @@ def train(
     model_axis: int = 1,
     tp_min_channels: int = 256,
     spatial: bool = False,
+    megastep: int = 0,
     profile: bool = False,
     profile_trace_dir: str = "",
 ):
@@ -141,6 +142,15 @@ def train(
     states = place(states)
     step = make_dcgan_train_step(*models, *txs)
     eval_step = make_dcgan_eval_step(*models)
+    megastep_fn = None
+    if megastep > 1:
+        if spatial:
+            raise ValueError("--megastep is not combinable with --spatial "
+                             "(put_megabatch shards the batch axis only)")
+        from .dcgan_trainer import make_dcgan_megastep
+
+        megastep_fn = make_dcgan_megastep(*models, *txs)
+        print(f"[megastep] {megastep} steps per XLA program")
 
     profiler = None
     if profile or profile_trace_dir:
@@ -206,6 +216,8 @@ def train(
                 spatial=spatial,
                 shutdown=shutdown,
                 init_metrics=mid if skip else None,
+                megastep_fn=megastep_fn,
+                megastep_k=megastep,
             )
             if mid_out is not None:
                 # step-granular preemption: snapshot inside the epoch

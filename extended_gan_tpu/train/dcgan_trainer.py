@@ -298,6 +298,45 @@ def _feed(loader, mesh, batch_size, spatial=False):
     return Prefetcher(iter(loader), depth=2, transfer=prepare)
 
 
+def _megafeed(loader, mesh, batch_size, k: int, depth=2):
+    """Stage K loader batches into one (K, B, ...) megabatch per yield —
+    feeds :func:`make_dcgan_megastep` (K adversarial steps per XLA
+    program; per-program dispatch overhead paid once per K steps —
+    BENCH_NOTES round 3). Yields ``(consumed, k_actual, (xs, ys, masks))``
+    with the epoch tail as a final shorter group."""
+    import numpy as np
+
+    from ..data.streaming import Prefetcher
+
+    padded = mesh.padded_batch_size(batch_size)
+
+    def grouped():
+        buf, consumed = [], 0
+        for item in loader:
+            consumed += 1
+            buf.append(item)
+            if len(buf) == k:
+                yield consumed, buf
+                buf, consumed = [], 0
+        if buf:
+            yield consumed, buf
+
+    def prepare(item):
+        consumed, buf = item
+        xs, ys, ms = [], [], []
+        for x, y in buf:
+            xp, yp, m = mesh.pad_to_batch_multiple(
+                to_nhwc(x), to_nhwc(y), batch_size=padded)
+            xs.append(xp)
+            ys.append(yp)
+            ms.append(m)
+        staged = mesh.put_megabatch(
+            np.stack(xs), np.stack(ys), np.stack(ms))
+        return consumed, len(buf), staged
+
+    return Prefetcher(grouped(), depth=depth, transfer=prepare)
+
+
 def train_single_epoch(
     *,
     dataloader,
@@ -312,8 +351,17 @@ def train_single_epoch(
     spatial: bool = False,
     shutdown=None,
     init_metrics: dict | None = None,
+    megastep_fn=None,
+    megastep_k: int = 0,
 ):
     """== dcgan/train.py:80-175 (one epoch of fused adversarial steps).
+
+    ``megastep_fn``/``megastep_k`` switch to K-steps-per-program execution
+    (``make_dcgan_megastep`` + ``_megafeed``): same update sequence and
+    PRNG stream up to f32 reduction order; per-program overhead paid once
+    per K steps; preemption granularity becomes K steps (snapshots still
+    land on exact loader-batch boundaries). Not combinable with
+    ``spatial``.
 
     Returns ``(states, results, mid)``. Normally ``mid`` is None; when
     ``shutdown.requested`` fires mid-epoch the loop stops after the
@@ -345,22 +393,38 @@ def train_single_epoch(
     step_cm = step_context(profiler)
     pending = []
     interrupted = False
-    for i, (x, y, mask) in enumerate(
-        _feed(dataloader, mesh, batch_size, spatial=spatial)
-    ):
-        with step_cm():
-            states, logs = step(states, x, y, mask, rng_keys.next())
-        pending.append(logs)
-        if i % log_every == 0:
-            print(
-                f"Loss_FD: {float(logs['errFD']):.4f}\t"
-                f"Loss_TD: {float(logs['errTD']):.4f}\t"
-                f"Loss_G: {float(logs['errG']):.4f}\t"
-            )
-        if shutdown is not None and shutdown.requested:
-            interrupted = True
-            n_done += i + 1
-            break
+    if megastep_fn is not None and megastep_k > 1:
+        import jax.numpy as jnp
+
+        assert not spatial, "megastep is not combinable with spatial"
+        for consumed, k, (xs, ys, ms) in _megafeed(
+            dataloader, mesh, batch_size, megastep_k
+        ):
+            rngs = jnp.stack([rng_keys.next() for _ in range(k)])
+            with step_cm():
+                states, logs = megastep_fn(states, xs, ys, ms, rngs)
+            pending.append(logs)  # *_nd already summed over the k steps
+            n_done += consumed
+            if shutdown is not None and shutdown.requested:
+                interrupted = True
+                break
+    else:
+        for i, (x, y, mask) in enumerate(
+            _feed(dataloader, mesh, batch_size, spatial=spatial)
+        ):
+            with step_cm():
+                states, logs = step(states, x, y, mask, rng_keys.next())
+            pending.append(logs)
+            if i % log_every == 0:
+                print(
+                    f"Loss_FD: {float(logs['errFD']):.4f}\t"
+                    f"Loss_TD: {float(logs['errTD']):.4f}\t"
+                    f"Loss_G: {float(logs['errG']):.4f}\t"
+                )
+            if shutdown is not None and shutdown.requested:
+                interrupted = True
+                n_done += i + 1
+                break
     for logs in jax.device_get(pending):
         pred_metrics.metrics["mse"] += IncrementalTuple(logs["train_mse_nd"])
         inc_acc_fd += IncrementalTuple(logs["fd_acc_nd"])

@@ -64,6 +64,8 @@ def train_single_epoch(
     shutdown=None,
     start_batch: int = 0,
     init_running: tuple[float, int] = (0.0, 0),
+    megastep_fn=None,
+    megastep_k: int = 0,
 ):
     """== convolutional_gat/train.py:94-155.
 
@@ -74,6 +76,13 @@ def train_single_epoch(
     passes ``start_batch`` (loader batches to replay-skip — identical RNG
     draws -> bit-identical continuation) and ``init_running`` (the
     restored partial sums).
+
+    ``megastep_fn``/``megastep_k`` switch the loop to K-steps-per-program
+    execution (``make_gat_megastep`` + ``gat_megafeed``): same update
+    sequence and PRNG stream up to f32 reduction order, with per-program
+    overhead paid once per K steps. Preemption granularity becomes K
+    steps (the snapshot still lands on an exact loader-batch boundary, so
+    resume stays exact).
     """
     train_loader, val_loader, _test_loader = loader_factory(epoch=epoch)
     print(f"\nEpoch: {epoch}")
@@ -93,27 +102,49 @@ def train_single_epoch(
     pending = []  # device scalars; single fetch at epoch end (RTT-bound)
     interrupted = False
     n_done = start_batch
-    for i, (n, batch) in enumerate(
-        gat_feed(train_it, mesh, spatial=spatial,
-                 batch_size=train_batch_size)
-    ):
-        if max_batches and i >= max_batches - start_batch:
-            break
-        if n <= 1:
+    if megastep_fn is not None and megastep_k > 1:
+        import itertools
+
+        from .gat_trainer import gat_megafeed
+
+        if max_batches:
+            train_it = itertools.islice(
+                train_it, max(max_batches - start_batch, 0))
+        for consumed, n_samples, k, staged in gat_megafeed(
+            train_it, mesh, megastep_k, batch_size=train_batch_size
+        ):
+            xs, ys, ms = staged
+            rngs = jnp.stack([keys.next() for _ in range(k)])
+            with step_cm():
+                state, logs = megastep_fn(state, xs, ys, ms, rngs)
+            pending.append(logs["running_nd"])  # summed over the k steps
+            total_length += n_samples
+            n_done += consumed
+            if shutdown is not None and shutdown.requested:
+                interrupted = True
+                break
+    else:
+        for i, (n, batch) in enumerate(
+            gat_feed(train_it, mesh, spatial=spatial,
+                     batch_size=train_batch_size)
+        ):
+            if max_batches and i >= max_batches - start_batch:
+                break
+            if n <= 1:
+                if shutdown is not None and shutdown.requested:
+                    interrupted = True
+                    n_done += i + 1
+                    break
+                continue
+            xd, yd, mask = batch
+            with step_cm():
+                state, logs = step(state, xd, yd, mask, keys.next())
+            pending.append(logs["running_nd"])
+            total_length += n
             if shutdown is not None and shutdown.requested:
                 interrupted = True
                 n_done += i + 1
                 break
-            continue
-        xd, yd, mask = batch
-        with step_cm():
-            state, logs = step(state, xd, yd, mask, keys.next())
-        pending.append(logs["running_nd"])
-        total_length += n
-        if shutdown is not None and shutdown.requested:
-            interrupted = True
-            n_done += i + 1
-            break
     import jax
 
     for nd in jax.device_get(pending):
@@ -188,6 +219,7 @@ def train(
     tp_min_channels: int = 256,
     spatial: bool = False,
     use_pallas: bool = False,
+    megastep: int = 0,
     profile: bool = False,
     profile_trace_dir: str = "",
     **_ignored,
@@ -268,6 +300,16 @@ def train(
     step = make_gat_train_step(model, tx, remat=remat,
                                criterion=criterion)
     eval_step = make_gat_eval_step(model)
+    megastep_fn = None
+    if megastep > 1:
+        if spatial:
+            raise ValueError("--megastep is not combinable with --spatial "
+                             "(put_megabatch shards the batch axis only)")
+        from .gat_trainer import make_gat_megastep
+
+        megastep_fn = make_gat_megastep(model, tx, remat=remat,
+                                        criterion=criterion)
+        print(f"[megastep] {megastep} steps per XLA program")
 
     scheduler = (
         ReduceLROnPlateau(learning_rate, factor=0.5, patience=0)
@@ -362,6 +404,7 @@ def train(
                 start_batch=skip,
                 init_running=(float(mid["loss"]), int(mid["total"]))
                 if skip else (0.0, 0),
+                megastep_fn=megastep_fn, megastep_k=megastep,
             )
             if mid_out is not None:
                 # step-granular preemption: snapshot inside the epoch

@@ -32,16 +32,11 @@ import numpy as np
 from .state import NetState
 
 
-def make_gat_train_step(model, tx, *, remat: bool = False,
+def _make_gat_step_body(model, tx, *, remat: bool = False,
                         criterion: str = "mse"):
-    """remat=True rematerializes the forward during the backward pass
-    (jax.checkpoint) — trades recompute FLOPs for activation HBM, the knob
-    that lets the 4M-param SmaAt-UNet train at large spatial sizes.
-
-    ``criterion`` (config key CRITERION; the reference passes an arbitrary
-    torch loss module to train(), convolutional_gat/train.py:131): "mse"
-    (the only one the reference's configs use) or "l1". Unknown names
-    raise — silently training MSE under another label is worse."""
+    """The un-jitted single-step update shared by
+    :func:`make_gat_train_step` (one program per step, donated state) and
+    :func:`make_gat_megastep` (K steps scanned into one program)."""
     if criterion not in ("mse", "l1"):
         raise ValueError(
             f"unsupported criterion {criterion!r}; choose 'mse' or 'l1'"
@@ -61,7 +56,6 @@ def make_gat_train_step(model, tx, *, remat: bool = False,
         jax.checkpoint(forward, static_argnums=(4,)) if remat else forward
     )
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state: NetState, x, y, mask, rng):
         m = mask.reshape((-1,) + (1,) * (y.ndim - 1))
 
@@ -90,6 +84,61 @@ def make_gat_train_step(model, tx, *, remat: bool = False,
             [running, jnp.sum(mask)])}
 
     return step
+
+
+def make_gat_train_step(model, tx, *, remat: bool = False,
+                        criterion: str = "mse"):
+    """One fused XLA program per train step (donated state).
+
+    remat=True rematerializes the forward during the backward pass
+    (jax.checkpoint) — trades recompute FLOPs for activation HBM, the knob
+    that lets the 4M-param SmaAt-UNet train at large spatial sizes.
+
+    ``criterion`` (config key CRITERION; the reference passes an arbitrary
+    torch loss module to train(), convolutional_gat/train.py:131): "mse"
+    (the only one the reference's configs use) or "l1". Unknown names
+    raise — silently training MSE under another label is worse."""
+    body = _make_gat_step_body(model, tx, remat=remat, criterion=criterion)
+    return functools.partial(jax.jit, donate_argnums=(0,))(body)
+
+
+def make_gat_megastep(model, tx, *, remat: bool = False,
+                      criterion: str = "mse"):
+    """K train steps fused into ONE XLA program via lax.scan.
+
+    The per-PROGRAM dispatch/transport overhead is paid once per K steps
+    instead of once per step — decisive on remote-attached chips where
+    that overhead is milliseconds (BENCH_NOTES round 3: the relay charges
+    ~4-6 ms per enqueued program, so K=16 lifts the true end-to-end
+    conv-GAT rate by an order of magnitude). On a locally-attached chip
+    (~10-100 us/program) it is near-neutral: the scanned state carry adds
+    copies the donated single step avoids (round-2 megastep analysis).
+
+    Signature: ``megastep(state, xs, ys, masks, rngs)`` with a leading K
+    axis on every batch input (``mesh.put_megabatch``). Logs: ``*_nd``
+    accumulator pairs are summed over the K steps (exact — pure
+    (num, denom) sums); scalar losses are the LAST step's. Numerics match
+    K sequential single steps fed the same rng sequence up to f32
+    reduction-order (tests/test_gat_megastep.py).
+    """
+    body = _make_gat_step_body(model, tx, remat=remat, criterion=criterion)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def megastep(state: NetState, xs, ys, masks, rngs):
+        def scan_body(s, inp):
+            x, y, m, r = inp
+            s, logs = body(s, x, y, m, r)
+            return s, logs
+
+        state, stacked = jax.lax.scan(
+            scan_body, state, (xs, ys, masks, rngs))
+        logs = {
+            k: jnp.sum(v, axis=0) if k.endswith("_nd") else v[-1]
+            for k, v in stacked.items()
+        }
+        return state, logs
+
+    return megastep
 
 
 def make_gat_eval_step(model):
@@ -168,6 +217,59 @@ def gat_feed(loader, mesh, *, spatial=False, batch_size=None, depth=2):
                                   batch_size=batch_size)
 
     return Prefetcher(iter(loader), depth=depth, transfer=prepare)
+
+
+def gat_megafeed(loader, mesh, k: int, *, batch_size=None, depth=2):
+    """Stage K loader batches into one (K, B, ...) megabatch per yield.
+
+    Feeds :func:`make_gat_megastep`: K reference steps execute as ONE XLA
+    program, paying the per-program dispatch/transport overhead once per
+    K steps (decisive on remote-attached chips — BENCH_NOTES round 3).
+    Batches with <= 1 samples are dropped exactly as the single-step loop
+    drops them (reference train.py:119-120). Yields
+    ``(consumed, n_samples, k_actual, (xs, ys, masks))`` where
+    ``consumed`` counts loader batches drawn (including dropped ones —
+    the loader-cursor unit mid-epoch resume uses); the epoch tail yields
+    a final shorter group (k_actual < k -> one extra XLA specialization).
+    Not combinable with spatial partitioning (put_megabatch shards the
+    batch axis only).
+    """
+
+    def grouped():
+        buf, consumed = [], 0
+        for x, y in loader:
+            consumed += 1
+            if len(x) <= 1:
+                continue
+            buf.append((x, y))
+            if len(buf) == k:
+                yield consumed, buf
+                buf, consumed = [], 0
+        if buf:
+            yield consumed, buf
+
+    def prepare(item):
+        consumed, buf = item
+        padded = mesh.padded_batch_size(
+            max(batch_size or 0, max(len(x) for x, _ in buf)))
+        xs, ys, ms = [], [], []
+        n_samples = 0
+        for x, y in buf:
+            n_samples += len(x)
+            xp, yp, m = mesh.pad_to_batch_multiple(
+                np.asarray(x, np.float32), np.asarray(y, np.float32),
+                batch_size=padded,
+            )
+            xs.append(xp)
+            ys.append(yp)
+            ms.append(m)
+        staged = mesh.put_megabatch(
+            np.stack(xs), np.stack(ys), np.stack(ms))
+        return consumed, n_samples, len(buf), staged
+
+    from ..data.streaming import Prefetcher
+
+    return Prefetcher(grouped(), depth=depth, transfer=prepare)
 
 
 def test(eval_step, state, loader, mesh, *, flag: str = "val",

@@ -51,6 +51,7 @@ class ExperimentConfig:
     checkpoint_every: int = 0  # Orbax full-state snapshot cadence (epochs)
     remat: bool = False  # rematerialize forward in backward (saves HBM)
     shuffle_mode: str = "batch"  # "batch" (reference) | "global" mixing
+    megastep: int = 0  # K>1: K train steps fused into one XLA program
 
     def to_dict(self) -> dict[str, Any]:
         return dataclasses.asdict(self)

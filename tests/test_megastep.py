@@ -135,3 +135,36 @@ def test_megastep_adam_smoke_and_metric_sums():
                     jax.tree_util.tree_leaves(states_b.g.params)):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=K * 4 * PARAMS["lr"])
+
+
+@pytest.mark.slow
+def test_dcgan_driver_megastep_matches_single_step_epoch(tmp_path):
+    """The user-launchable path (python -m dcgan --megastep 4): one
+    synthetic epoch under megastep matches the single-step epoch (same
+    seed -> same batches and PRNG stream; f32 reduction-order tolerance).
+    """
+    from extended_gan_tpu.train.dcgan_driver import train
+
+    common = dict(
+        epochs=1, train_batch_size=8, test_batch_size=8, max_batches=8,
+        synthetic=True, seed=33,
+        params={"imsize": 64, "ngf": 8, "ndf": 8, "save_epoch": 0},
+    )
+    s_single, h_single = train(out_dir=str(tmp_path / "a"), **common)
+    s_mega, h_mega = train(out_dir=str(tmp_path / "b"), megastep=4,
+                           **common)
+
+    # GAN training (3 Adams + BN + adversarial feedback) amplifies the
+    # scan-vs-standalone f32 reduction-order wiggle faster than the MSE
+    # trainer; 1e-3 relative still catches any real sequencing bug (those
+    # produce O(1) errors — see the strict SGD test above)
+    for key in ("train_mse", "pred_mse"):
+        np.testing.assert_allclose(
+            h_mega.history[key][-1], h_single.history[key][-1], rtol=1e-3)
+    for net in ("g", "fd", "td"):
+        for a, b in zip(
+            jax.tree_util.tree_leaves(getattr(s_single, net).params),
+            jax.tree_util.tree_leaves(getattr(s_mega, net).params),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=2e-3)
