@@ -9,6 +9,12 @@ Measures, on the current backend:
 Usage: python scripts/bench_all.py [--steps N]
 """
 
+# WARNING (round-3 finding, BENCH_NOTES): jax.block_until_ready does
+# NOT block through the axon relay -- timings below are HOST DISPATCH
+# rates on relay-attached rigs. bench.py (time-to-data drain) is the
+# honest harness; this script's numbers are only comparable to each
+# other on a locally-attached chip.
+
 from __future__ import annotations
 
 import argparse

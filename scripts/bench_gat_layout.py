@@ -13,6 +13,12 @@ experiment geometries (20x20 local_*, 80x80 final_*):
 Run: python scripts/bench_gat_layout.py
 """
 
+# WARNING (round-3 finding, BENCH_NOTES): jax.block_until_ready does
+# NOT block through the axon relay -- timings below are HOST DISPATCH
+# rates on relay-attached rigs. bench.py (time-to-data drain) is the
+# honest harness; this script's numbers are only comparable to each
+# other on a locally-attached chip.
+
 import sys
 import time
 

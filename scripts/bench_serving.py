@@ -88,16 +88,18 @@ def main(argv=None):
                      "backend": jax.devices()[0].platform}
     rng = np.random.default_rng(0)
 
-    # ---- direct (no HTTP) floor
+    # ---- direct (no HTTP) floor. Timed to DATA (np.asarray), not to
+    # dispatch: block_until_ready does not block through the relay
+    # (BENCH_NOTES round 3), and a server answering a request must have
+    # the bytes anyway.
     serve = serving_fn(path)
     for b in args.batches:
         x = rng.random((b, hw, hw, 4, 6), dtype=np.float32)
-        y = serve(x)  # compile
-        y.block_until_ready()
+        np.asarray(serve(x))  # compile + drain
         t = []
         for _ in range(args.requests):
             t0 = time.perf_counter()
-            serve(x).block_until_ready()
+            np.asarray(serve(x))
             t.append(time.perf_counter() - t0)
         t.sort()
         results[f"direct_b{b}_p50_ms"] = round(t[len(t) // 2] * 1e3, 3)
