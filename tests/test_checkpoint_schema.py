@@ -113,3 +113,51 @@ def test_manager_rejects_future_sidecar(tmp_path):
         json.dump({"schema_version": SCHEMA_VERSION + 1}, f)
     with pytest.raises(ValueError, match="schema"):
         CheckpointManager(d)
+
+
+def test_ckpt_step_ordering():
+    """v3 step numbering: a mid-epoch snapshot sorts between its epoch's
+    start and completion; completions sort by epoch."""
+    from extended_gan_tpu.train.checkpoint import MID_EPOCH_STRIDE, ckpt_step
+
+    e2_start = ckpt_step(2, 0)
+    e2_mid = ckpt_step(2, 17)
+    e2_done = ckpt_step(3, 0)  # completion of epoch 2 == start of epoch 3
+    assert e2_start < e2_mid < e2_done
+    assert ckpt_step(1, MID_EPOCH_STRIDE - 1) < ckpt_step(2, 0)
+
+
+def test_empty_mid_structure_is_fixed():
+    """The v3 mid subtree must keep a FIXED structure (templates match
+    every save), and zeroed means epoch-boundary semantics."""
+    import numpy as np
+
+    from extended_gan_tpu.train.checkpoint import empty_mid
+
+    a, b = empty_mid(), empty_mid()
+    assert sorted(a) == ["batch", "fd_acc", "mse", "td_acc"]
+    assert int(a["batch"]) == 0
+    for k in a:
+        np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]))
+
+
+def test_gan_restore_template_matches_sidecar_version(tmp_path):
+    """v2 directories restore WITHOUT a mid subtree; v3+ with one."""
+    import json
+    import os
+
+    from extended_gan_tpu.train.checkpoint import (
+        CheckpointManager,
+        gan_restore_template,
+    )
+
+    d = tmp_path / "ckpt"
+    mgr = CheckpointManager(str(d))
+    # fresh dir: no sidecar until the first save -> treated as v1/legacy
+    t = gan_restore_template(mgr, {"w": 0}, np.zeros(2, np.uint32))
+    assert "mid" not in t
+    with open(os.path.join(str(d), "schema.json"), "w") as f:
+        json.dump({"schema_version": 3}, f)
+    t = gan_restore_template(mgr, {"w": 0}, np.zeros(2, np.uint32))
+    assert "mid" in t
+    mgr.close()

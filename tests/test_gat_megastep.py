@@ -119,3 +119,56 @@ def test_gat_driver_megastep_matches_single_step_epoch(tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(s_single.params),
                     jax.tree_util.tree_leaves(s_mega.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
+
+
+@pytest.mark.slow
+def test_gat_megastep_preemption_resumes(tmp_path, monkeypatch):
+    """Megastep + step-granular preemption interplay: a shutdown firing
+    between K-step programs snapshots on a loader-batch boundary and the
+    resumed run (single-step mode) completes with finite metrics."""
+    import os
+
+    from extended_gan_tpu.train import preempt
+    from extended_gan_tpu.train.checkpoint import (
+        MID_EPOCH_STRIDE,
+        CheckpointManager,
+    )
+    from extended_gan_tpu.train.gat_driver import train
+
+    class _FireSecondRead:
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *e):
+            return False
+
+        _reads = 0
+
+        @property
+        def requested(self):
+            type(self)._reads += 1
+            return type(self)._reads >= 2
+
+    common = dict(
+        model_type="temporal", optimizer="adam", mapping_type="linear",
+        train_batch_size=8, test_batch_size=8, epochs=2, max_batches=8,
+        learning_rate=1e-3, lr_step=1, gamma=0.95,
+        downsample_size=(16, 16), dataset="synthetic", seed=47,
+        checkpoint_every=10,
+    )
+    real = preempt.GracefulShutdown
+    monkeypatch.setattr(preempt, "GracefulShutdown", _FireSecondRead)
+    out = str(tmp_path / "run")
+    # megastep=4: reads happen once per 4-step program -> fires after the
+    # SECOND program = 8 loader batches into epoch 1
+    _, h1 = train(output_path=out, resume=True, megastep=4, **common)
+    assert len(h1.get("val_loss", [])) == 0, "epoch 1 should be partial"
+    mgr = CheckpointManager(os.path.join(out, "checkpoints"))
+    step = mgr.latest_step()
+    mgr.close()
+    assert step == 1 * MID_EPOCH_STRIDE + 8, step
+
+    monkeypatch.setattr(preempt, "GracefulShutdown", real)
+    s, h = train(output_path=out, resume=True, **common)
+    assert len(h["val_loss"]) == 2
+    assert np.isfinite(h["val_loss"][-1])
