@@ -6,6 +6,17 @@ from .mesh import (
     cross_replica_mean,
     local_batch_size,
 )
+from .pipeline import (
+    make_pipeline_apply,
+    make_baseline_gat_pipeline,
+    stack_stage_params,
+    unstack_stage_params,
+    shard_stage_params,
+    split_baseline_gat_stages,
+    microbatch,
+    unmicrobatch,
+    put_microbatched,
+)
 
 __all__ = [
     "MeshContext",
@@ -14,4 +25,13 @@ __all__ = [
     "shard_net_state_tp",
     "cross_replica_mean",
     "local_batch_size",
+    "make_pipeline_apply",
+    "make_baseline_gat_pipeline",
+    "stack_stage_params",
+    "unstack_stage_params",
+    "shard_stage_params",
+    "split_baseline_gat_stages",
+    "microbatch",
+    "unmicrobatch",
+    "put_microbatched",
 ]

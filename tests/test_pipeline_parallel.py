@@ -1,0 +1,217 @@
+"""Pipeline parallelism (PP): correctness + mechanics.
+
+The reference is single-device, so PP has no behavioral twin; the oracle
+is the framework's own sequential model. Proven here, all on the virtual
+8-device CPU mesh:
+
+- the 2-stage pipelined BaselineModel (the reference's flagship GAT,
+  baseline_model.py:200-270 — two identically-shaped GATMultiHead blocks)
+  matches ``model.apply`` forward AND in MSE gradients, under DP x PP;
+- a deeper generic 4-stage pipeline matches its sequential composition;
+- mechanics: each model-rank device holds exactly ``1/S`` of the stage
+  parameters (and of an Adam optimizer's moments), and the compiled
+  program moves activations with ``collective-permute`` (ppermute = ICI
+  neighbor hops on hardware);
+- an optax train step over the pipelined loss preserves the stage
+  sharding of params and moments.
+"""
+
+import re
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from extended_gan_tpu.models.gat.baseline import BaselineModel
+from extended_gan_tpu.parallel import (
+    MeshContext,
+    make_baseline_gat_pipeline,
+    make_pipeline_apply,
+    microbatch,
+    shard_stage_params,
+    split_baseline_gat_stages,
+    stack_stage_params,
+    unmicrobatch,
+)
+
+
+def _baseline_setup(data=4, model_axis=2, batch=16, hw=6, v=5):
+    mesh = MeshContext.create(data=data, model=model_axis)
+    model = BaselineModel(
+        image_width=hw, image_height=hw, n_vertices=v, time_steps=4
+    )
+    rng = np.random.RandomState(0)
+    x = rng.rand(batch, hw, hw, 4, v).astype(np.float32)
+    y = rng.rand(batch, hw, hw, 4, v).astype(np.float32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(x),
+                           train=False)
+    apply, prepare = make_baseline_gat_pipeline(model, mesh)
+    stacked = prepare(variables["params"])
+    xd, yd = (jax.device_put(a, mesh.batch_sharding) for a in (x, y))
+    return mesh, model, variables, apply, stacked, x, y, xd, yd
+
+
+def test_pp2_forward_matches_sequential_baseline_gat():
+    (_, model, variables, apply, stacked, x, _, xd, _) = _baseline_setup()
+    ref = model.apply(variables, jnp.asarray(x), train=False)
+    out = apply(stacked, xd, n_microbatches=4)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-6)
+
+
+def test_pp2_grads_match_sequential_and_inherit_stage_sharding():
+    (_, model, variables, apply, stacked, x, y, xd, yd) = _baseline_setup()
+
+    def pp_loss(s):
+        return jnp.mean((apply(s, xd, 4) - yd) ** 2)
+
+    def ref_loss(p):
+        out = model.apply({"params": p}, jnp.asarray(x), train=False)
+        return jnp.mean((out - jnp.asarray(y)) ** 2)
+
+    g_pp = jax.jit(jax.grad(pp_loss))(stacked)
+    g_ref = stack_stage_params(
+        split_baseline_gat_stages(jax.grad(ref_loss)(variables["params"]))
+    )
+    for a, b in zip(jax.tree_util.tree_leaves(g_pp),
+                    jax.tree_util.tree_leaves(g_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+        assert a.sharding.spec == jax.sharding.PartitionSpec("model")
+
+
+def test_pp_microbatch_count_invariance():
+    """M=2 vs M=8 (different bubble fractions) give identical outputs."""
+    (_, _, _, apply, stacked, _, _, xd, _) = _baseline_setup(data=2)
+    out2 = apply(stacked, xd, n_microbatches=2)
+    out8 = apply(stacked, xd, n_microbatches=8)
+    np.testing.assert_allclose(
+        np.asarray(out2), np.asarray(out8), atol=2e-6)
+
+
+def test_pp_stage_count_mismatch_raises():
+    mesh = MeshContext.create(data=2, model=4)  # 4-wide model axis
+    model = BaselineModel(image_width=6, image_height=6, n_vertices=5,
+                          time_steps=4)  # ...but only 2 stages
+    x = np.zeros((8, 6, 6, 4, 5), np.float32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(x),
+                           train=False)
+    _, prepare = make_baseline_gat_pipeline(model, mesh)
+    with pytest.raises(ValueError, match="stages"):
+        prepare(variables["params"])
+
+
+# ------------------------------------------------- generic 4-stage engine
+
+def _dense_stage_fn(p, x):
+    return jnp.tanh(x @ p["w"] + p["b"])
+
+
+def _dense_stages(key, n_stages, width):
+    stages = []
+    for i in range(n_stages):
+        k = jax.random.fold_in(key, i)
+        stages.append({
+            "w": jax.random.normal(k, (width, width)) / np.sqrt(width),
+            "b": jnp.zeros((width,)),
+        })
+    return stages
+
+
+def test_pp4_generic_stack_matches_sequential():
+    mesh = MeshContext.create(data=2, model=4)
+    width, batch = 32, 8
+    stages = _dense_stages(jax.random.PRNGKey(1), 4, width)
+    stacked = shard_stage_params(stack_stage_params(stages), mesh)
+    x = np.random.RandomState(2).randn(batch, width).astype(np.float32)
+
+    ref = jnp.asarray(x)
+    for p in stages:
+        ref = _dense_stage_fn(p, ref)
+
+    pipe = make_pipeline_apply(_dense_stage_fn, mesh)
+    xd = jax.device_put(microbatch(jnp.asarray(x), 4),
+                        mesh.sharding(None, "data"))
+    out = unmicrobatch(pipe(stacked, xd))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+
+
+def test_pp4_train_step_preserves_stage_sharding():
+    """One optax-adam update over the pipelined loss keeps params AND
+    moments stage-sharded (the PP optimizer-memory story)."""
+    mesh = MeshContext.create(data=2, model=4)
+    width = 16
+    stages = _dense_stages(jax.random.PRNGKey(3), 4, width)
+    stacked = shard_stage_params(stack_stage_params(stages), mesh)
+    tx = optax.adam(1e-3)
+    stage_sharding = jax.tree_util.tree_leaves(stacked)[0].sharding
+    repl = jax.sharding.NamedSharding(mesh.mesh,
+                                      jax.sharding.PartitionSpec())
+    opt_state = jax.tree_util.tree_map(
+        lambda leaf: jax.device_put(
+            leaf, stage_sharding if getattr(leaf, "ndim", 0) >= 1 else repl
+        ),
+        tx.init(stacked),
+    )
+    pipe = make_pipeline_apply(_dense_stage_fn, mesh)
+    x = np.random.RandomState(4).randn(8, width).astype(np.float32)
+    y = np.random.RandomState(5).randn(8, width).astype(np.float32)
+    xd = jax.device_put(microbatch(jnp.asarray(x), 4),
+                        mesh.sharding(None, "data"))
+    yd = jax.device_put(microbatch(jnp.asarray(y), 4),
+                        mesh.sharding(None, "data"))
+
+    @jax.jit
+    def train_step(params, opt_state):
+        def loss(p):
+            return jnp.mean((pipe(p, xd) - yd) ** 2)
+
+        l, g = jax.value_and_grad(loss)(params)
+        updates, opt_state = tx.update(g, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, l
+
+    params2, opt_state2, l = train_step(stacked, opt_state)
+    assert np.isfinite(float(l))
+    spec = jax.sharding.PartitionSpec("model")
+    for leaf in jax.tree_util.tree_leaves(params2):
+        assert leaf.sharding.spec == spec
+    # Adam mu/nu mirror the param tree; every moment leaf stays sharded
+    for leaf in jax.tree_util.tree_leaves(opt_state2):
+        if getattr(leaf, "ndim", 0) >= 1 and leaf.shape[:1] == (4,):
+            assert leaf.sharding.spec == spec
+
+
+# ------------------------------------------------------------- mechanics
+
+def _bytes_on(device, tree) -> int:
+    total = 0
+    for leaf in jax.tree_util.tree_leaves(tree):
+        for s in leaf.addressable_shards:
+            if s.device == device:
+                total += s.data.nbytes
+    return total
+
+
+def test_pp_per_device_param_bytes_are_one_over_s():
+    (mesh, _, variables, _, stacked, *_rest) = _baseline_setup()
+    total = sum(leaf.nbytes
+                for leaf in jax.tree_util.tree_leaves(stacked))
+    s = mesh.mesh.shape["model"]
+    for d in mesh.mesh.devices.flat:
+        # stacked params replicate over data, split 1/S over model
+        assert _bytes_on(d, stacked) == total // s
+    # and one full copy of the unstacked model is s times one device's cut
+    unstacked_total = sum(
+        leaf.size * leaf.dtype.itemsize for leaf in
+        jax.tree_util.tree_leaves(variables["params"]))
+    assert total == unstacked_total  # stacking added no padding
+
+
+def test_pp_compiled_program_uses_collective_permute():
+    (mesh, _, _, apply, stacked, _, _, xd, _) = _baseline_setup()
+    fn = jax.jit(lambda s, x: apply(s, x, 4))
+    txt = fn.lower(stacked, xd).compile().as_text()
+    n = len(re.findall(
+        r"= \S+ collective-permute\(|= \S+ collective-permute-start\(",
+        txt))
+    assert n >= 1, "pipelined program must hop activations via ppermute"
