@@ -12,14 +12,28 @@ every chained (state-donating, therefore serial) step has executed.
 On this rig the relay charges a measured ~4-6 ms of per-PROGRAM overhead
 (server-side; a locally-attached chip pays ~10-100 us). Two consequences:
 
-- the primary metric is the MEGASTEP path (K=16 reference steps scanned
+- the primary metric is the MEGASTEP path (K reference steps scanned
   into one XLA program — ``make_dcgan_megastep``/``make_gat_megastep``,
   drivers' ``--megastep``): the per-program overhead amortizes K-ways,
   making it the fastest SHIPPED configuration end-to-end on this
-  topology. The single-step true rate is reported beside it.
-- the extras carry a two-point decomposition (b32 + b128 drain times vs
-  analytic FLOPs -> slope = device compute rate, intercept = per-program
-  overhead), so the chip's own speed is separable from the link's.
+  topology. K=64 (an ordinary fraction of an epoch) approaches the
+  device ceiling; K=16 and the single-step true rate are reported
+  beside it, and the extras carry the bf16 megastep (the TPU-natural
+  precision, parity-proven within 1% per-epoch MSE — decisive for
+  conv-GAT where the device step is MXU-bound, neutral for dcgan whose
+  step is serial-small-kernel-bound).
+- the extras carry a two-K decomposition: the megastep timed at K=8 and
+  K=16 (same batch, straight-line device work) fits
+  ``t(K) = overhead + K * device_step`` with NO scaling assumptions —
+  slope = true device time per step, intercept = per-program link
+  overhead. (An earlier batch-based b32/b128 fit assumed device time is
+  FLOPs-proportional; that is false for this latency-bound serial-kernel
+  step — it nearly flat-lines in batch — so that fit misattributed
+  device time to the intercept and over-estimated the chip rate ~4x.
+  Probe record: scripts/probe_megastep_overheads.py,
+  scripts/probe_unrolled_chain.py — a fully unrolled K-step jit matches
+  the lax.scan megastep within noise, so the scan body is not the
+  limiter and the slope measures real device work.)
 
 Workloads: the fused DCGAN adversarial train step (the reference's
 headline loop, dcgan/train.py:96-164) at batch 32, 64x64, f32 — ~9
@@ -208,8 +222,12 @@ def _gat_setup(batch=32, precision="f32", hw=20):
 
     mesh = MeshContext.create(data=1, model=1)
     dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
+    # USE_PALLAS on: the fused Pallas attention kernel is a shipped knob
+    # (exact-f32, tests/test_pallas_gat_attention.py) and measures ~16%
+    # faster than the unfused path at this geometry (BENCH_NOTES round 3).
     model = build_model("temporal", image_width=hw, image_height=hw,
-                        n_vertices=6, mapping_type="conv", dtype=dtype)
+                        n_vertices=6, mapping_type="conv", dtype=dtype,
+                        use_pallas=True)
     tx = adam(1e-3, weight_decay=0.01)
     ks = KeySeq(0)
     state = create_net_state(model, tx, ks.next(),
@@ -307,7 +325,7 @@ def _time_megastep(mega, states, margs, K, n_programs=3, trials=4,
     }
 
 
-def bench_dcgan_megastep(K=16, batch=32):
+def bench_dcgan_megastep(K=16, batch=32, precision="f32"):
     import numpy as np
 
     from extended_gan_tpu.parallel import MeshContext
@@ -319,7 +337,7 @@ def bench_dcgan_megastep(K=16, batch=32):
 
     mesh = MeshContext.create(data=1, model=1)
     models, txs, states, _ = build_dcgan(
-        dict(DEFAULT_PARAMS), precision="f32", seed=0)
+        dict(DEFAULT_PARAMS), precision=precision, seed=0)
     states = mesh.put_replicated(states)
     mega = make_dcgan_megastep(*models, *txs)
     rng = np.random.RandomState(0)
@@ -330,7 +348,7 @@ def bench_dcgan_megastep(K=16, batch=32):
     return _time_megastep(mega, states, margs, K)
 
 
-def bench_gat_megastep(K=16, batch=32, hw=20):
+def bench_gat_megastep(K=16, batch=32, hw=20, precision="f32"):
     import jax.numpy as jnp
     import numpy as np
 
@@ -342,8 +360,10 @@ def bench_gat_megastep(K=16, batch=32, hw=20):
     from extended_gan_tpu.train.state import create_net_state
 
     mesh = MeshContext.create(data=1, model=1)
+    dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
     model = build_model("temporal", image_width=hw, image_height=hw,
-                        n_vertices=6, mapping_type="conv")
+                        n_vertices=6, mapping_type="conv", dtype=dtype,
+                        use_pallas=True)
     tx = adam(1e-3, weight_decay=0.01)
     state = create_net_state(model, tx, KeySeq(0).next(),
                              jnp.zeros((2, hw, hw, 4, 6)))
@@ -367,21 +387,26 @@ def _mfu(flops_per_step: float, sps: float) -> dict:
     }
 
 
-def _decompose(t32_s: float, t128_s: float, flops_b32: float) -> dict:
-    """Two-point linear fit: drain-time(batch) = overhead + flops/rate.
+def _decompose_k(t8_ms: float, t16_ms: float, flops_b32: float) -> dict:
+    """Two-K linear fit: megastep-program-time(K) = overhead + K * dev.
 
-    Separates the chip's compute rate (slope) from the per-program
-    dispatch/transport overhead (intercept) — on a relay-attached chip
-    the intercept is the link's, not the chip's."""
-    if t128_s <= t32_s:
-        return {"note": "non-monotone timings; decomposition skipped"}
-    rate = (4 * flops_b32 - flops_b32) / (t128_s - t32_s)
-    overhead = t32_s - flops_b32 / rate
+    Both points use the SAME batch, so no FLOPs-scaling assumption is
+    needed (the step is latency-bound and nearly flat in batch, which is
+    why a batch-based fit misattributes device time to the intercept).
+    Slope = true device time per step; intercept = per-program overhead
+    (the relay link's on this rig; ~10-100 us on a local attach)."""
+    dev_ms = (t16_ms - t8_ms) / 8.0
+    if dev_ms <= 0:
+        return {"note": "non-monotone K timings; decomposition skipped"}
+    rate = flops_b32 / (dev_ms * 1e-3)
     return {
+        "device_ms_per_step": round(dev_ms, 3),
         "device_tflops_est": round(rate / 1e12, 1),
         "device_mfu_vs_v5e_bf16_peak": round(rate / V5E_BF16_PEAK, 4),
-        "overhead_ms_per_program": round(max(overhead, 0.0) * 1e3, 2),
-        "device_steps_per_sec_est_b32": round(rate / flops_b32, 1),
+        "overhead_ms_per_program": round(max(t8_ms - 8 * dev_ms, 0.0), 2),
+        "device_steps_per_sec_est_b32": round(1e3 / dev_ms, 1),
+        "method": "megastep timed at K=8,16 (same batch); slope=device,"
+                  " intercept=link",
     }
 
 
@@ -415,9 +440,21 @@ def main():
         mega = mega_fn(K=16)
         print(f"{name} megastep K16 TRUE: {1e3 / mega['median']:.3f} "
               f"ms/step (cv {mega['cv']})", file=sys.stderr)
+        mega8 = mega_fn(K=8)
+        print(f"{name} megastep K8 TRUE: {1e3 / mega8['median']:.3f} "
+              f"ms/step (cv {mega8['cv']})", file=sys.stderr)
+        mega64 = mega_fn(K=64)
+        print(f"{name} megastep K64 TRUE: {1e3 / mega64['median']:.3f} "
+              f"ms/step (cv {mega64['cv']})", file=sys.stderr)
+        mega64_bf16 = mega_fn(K=64, precision="bf16")
+        print(f"{name} megastep K64 bf16 TRUE: "
+              f"{1e3 / mega64_bf16['median']:.3f} ms/step "
+              f"(cv {mega64_bf16['cv']})", file=sys.stderr)
         flops = base[name]["flops_per_step_b32"]
-        mode, stats = max((("single", single), ("megastep_k16", mega)),
-                          key=lambda kv: kv[1]["best"])
+        mode, stats = max(
+            (("single", single), ("megastep_k16", mega),
+             ("megastep_k64", mega64)),
+            key=lambda kv: kv[1]["best"])
         results[name] = {
             "mode": mode,
             "best": round(stats["best"], 1),
@@ -429,8 +466,11 @@ def main():
             "single_true_sps": round(single["median"], 1),
             "single_b128_true_sps": round(single128["median"], 1),
             "megastep_k16_true_sps": round(mega["median"], 1),
-            "device_decomposition": _decompose(
-                1.0 / single["median"], 1.0 / single128["median"], flops),
+            "megastep_k8_true_sps": round(mega8["median"], 1),
+            "megastep_k64_true_sps": round(mega64["median"], 1),
+            "megastep_k64_bf16_true_sps": round(mega64_bf16["median"], 1),
+            "device_decomposition": _decompose_k(
+                8e3 / mega8["median"], 16e3 / mega["median"], flops),
         }
 
     # samples/sec grid (f32/bf16 x b32/b128, single-step true rates)

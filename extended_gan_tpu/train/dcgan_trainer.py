@@ -72,14 +72,18 @@ def make_dcgan_train_step(g_model, fd_model, td_model, g_tx, fd_tx, td_tx):
 def make_dcgan_megastep(
     g_model, fd_model, td_model, g_tx, fd_tx, td_tx
 ):
-    """K train steps fused into ONE XLA program via lax.scan — OPT-IN.
+    """K train steps fused into ONE XLA program via lax.scan.
 
-    Measured on the real chip this is ~3.3x SLOWER than chaining donated
-    single steps (BENCH_NOTES.md "Megastep" section): async dispatch
-    already pipelines the fused steps, and the scanned GAN-state carry
-    costs per-iteration copies the donated step avoids. It exists for
-    environments where host->device dispatch latency truly dominates
-    (slow control links, tiny models); the drivers keep single steps.
+    The per-PROGRAM dispatch/transport overhead is paid once per K steps
+    instead of once per step — decisive on remote-attached chips where
+    that overhead is milliseconds (BENCH_NOTES round 3 "time-to-data"
+    correction: under honest drain timing the megastep is the FASTEST
+    shipped configuration on this rig; the earlier "~3.3x slower than
+    chained single steps" verdict was an artifact of the broken
+    block_until_ready clock). On a locally-attached chip
+    (~10-100 us/program) it is near-neutral: a fully unrolled K-step
+    program measures the same per-step device time as the scan
+    (scripts/probe_unrolled_chain.py), ~2.7 ms at b32 f32.
 
     Numerics match K sequential single steps fed the same rng sequence up
     to f32 reduction-order (tests/test_megastep.py proves sequencing under
