@@ -30,5 +30,6 @@ RESUME = False           # continue from checkpoints/ if present
 SEED = 369
 # DATA_AXIS / MODEL_AXIS shape the device mesh (DP x TP);
 # SPATIAL = True stripes the frame axis over MODEL_AXIS instead (SP);
-# USE_PALLAS = True opts into the fused Pallas kernels (GAT attention,
-# SmaAt-UNet DSC); CRITERION accepts "mse" (reference) or "l1"
+# USE_PALLAS selects the fused Pallas kernels (GAT attention, SmaAt-UNet
+# DSC); unset = auto (ON on TPU, OFF elsewhere). CRITERION accepts
+# "mse" (reference) or "l1"

@@ -12,6 +12,7 @@ import json
 import os
 
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -218,7 +219,7 @@ def train(
     model_axis: int = 1,
     tp_min_channels: int = 256,
     spatial: bool = False,
-    use_pallas: bool = False,
+    use_pallas: bool | None = None,
     megastep: int = 0,
     profile: bool = False,
     profile_trace_dir: str = "",
@@ -232,10 +233,16 @@ def train(
     mapping/model paths) and their Adam moments shard over ``model``.
     ``spatial=True`` (config key SPATIAL) instead stripes the frame-width
     axis of every batch over the model axis (SP; params replicated).
-    ``use_pallas=True`` (config key USE_PALLAS) opts into the fused Pallas
-    kernels (GAT attention; SmaAt-UNet DSC)."""
+    ``use_pallas`` (config key USE_PALLAS) selects the fused Pallas
+    kernels (GAT attention; SmaAt-UNet DSC). Default ``None`` = auto: ON
+    when running on TPU (the fused attention measures ~16% faster at the
+    bench geometry with exact-f32 numerics, BENCH_NOTES round 3), OFF
+    elsewhere (the CPU fallback is interpret-mode, far slower than the
+    unfused XLA path). Pass an explicit True/False to override."""
     if spatial and model_axis > 1 and tp_min_channels <= 8192:
         tp_min_channels = 1 << 30  # SP and TP both spend the model axis
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
     mesh = MeshContext.create(data=data_axis, model=model_axis)
     keys = KeySeq(seed)
     dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
