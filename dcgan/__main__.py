@@ -36,6 +36,11 @@ def main():
                              "program (amortizes per-program dispatch "
                              "overhead K-ways; decisive on remote-"
                              "attached chips)")
+    parser.add_argument("--fused-disc", action="store_true",
+                        help="batch each discriminator's real+fake passes "
+                             "into one doubled-batch fwd/bwd (fewer serial "
+                             "net passes per step; BN batch statistics mix "
+                             "real and fake — a documented deviation)")
     parser.add_argument("--profile", action="store_true",
                         help="record per-epoch step timing into the history")
     parser.add_argument("--profile-trace-dir", type=str, default="",
@@ -71,6 +76,7 @@ def main():
         tp_min_channels=args.tp_min_channels,
         spatial=args.spatial,
         megastep=args.megastep,
+        fused_disc=args.fused_disc,
         profile=args.profile,
         profile_trace_dir=args.profile_trace_dir,
     )

@@ -88,6 +88,7 @@ def train(
     tp_min_channels: int = 256,
     spatial: bool = False,
     megastep: int = 0,
+    fused_disc: bool = False,
     profile: bool = False,
     profile_trace_dir: str = "",
 ):
@@ -140,7 +141,10 @@ def train(
         return s
 
     states = place(states)
-    step = make_dcgan_train_step(*models, *txs)
+    if fused_disc:
+        print("[fused-disc] doubled-batch discriminator passes "
+              "(mixed real+fake BN statistics)")
+    step = make_dcgan_train_step(*models, *txs, fused_disc=fused_disc)
     eval_step = make_dcgan_eval_step(*models)
     megastep_fn = None
     if megastep > 1:
@@ -149,7 +153,8 @@ def train(
                              "(put_megabatch shards the batch axis only)")
         from .dcgan_trainer import make_dcgan_megastep
 
-        megastep_fn = make_dcgan_megastep(*models, *txs)
+        megastep_fn = make_dcgan_megastep(*models, *txs,
+                                          fused_disc=fused_disc)
         print(f"[megastep] {megastep} steps per XLA program")
 
     profiler = None

@@ -62,15 +62,18 @@ def _tree_add(a, b):
     return jax.tree_util.tree_map(jnp.add, a, b)
 
 
-def make_dcgan_train_step(g_model, fd_model, td_model, g_tx, fd_tx, td_tx):
+def make_dcgan_train_step(
+    g_model, fd_model, td_model, g_tx, fd_tx, td_tx, *, fused_disc=False
+):
     body = _make_dcgan_step_body(
-        g_model, fd_model, td_model, g_tx, fd_tx, td_tx
+        g_model, fd_model, td_model, g_tx, fd_tx, td_tx,
+        fused_disc=fused_disc,
     )
     return jax.jit(body, donate_argnums=(0,))
 
 
 def make_dcgan_megastep(
-    g_model, fd_model, td_model, g_tx, fd_tx, td_tx
+    g_model, fd_model, td_model, g_tx, fd_tx, td_tx, *, fused_disc=False
 ):
     """K train steps fused into ONE XLA program via lax.scan.
 
@@ -96,7 +99,8 @@ def make_dcgan_megastep(
     print would have shown.
     """
     body = _make_dcgan_step_body(
-        g_model, fd_model, td_model, g_tx, fd_tx, td_tx
+        g_model, fd_model, td_model, g_tx, fd_tx, td_tx,
+        fused_disc=fused_disc,
     )
 
     @functools.partial(jax.jit, donate_argnums=(0,))
@@ -118,64 +122,128 @@ def make_dcgan_megastep(
     return megastep
 
 
-def _make_dcgan_step_body(g_model, fd_model, td_model, g_tx, fd_tx, td_tx):
+def _make_dcgan_step_body(
+    g_model, fd_model, td_model, g_tx, fd_tx, td_tx, *, fused_disc=False
+):
+    """``fused_disc=True`` batches each discriminator's real and fake
+    passes into ONE doubled-batch forward/backward (real rows first, fake
+    rows second). The step is latency-bound by its chain of serial net
+    passes (BENCH_NOTES round-3 K-fit: ~2.7 ms device time at b32 f32),
+    and a 2B pass costs about the same as a B pass at these shapes, so
+    dropping two fwd+bwd chains buys wall-clock directly. Deliberate
+    semantic deviations from the reference's sequential passes
+    (dcgan/train.py:109-139), both confined to in-discriminator noise:
+
+    - BatchNorm batch statistics inside FD/TD are computed over the mixed
+      real+fake 2B batch (the reference normalizes each pass over its own
+      B rows), and running stats take one mixed update instead of two;
+    - TD's channel-dropout draws one mask over the 2B rows (the reference
+      draws independent masks per pass).
+
+    Losses, gradients, the update order (D first on real+fake, then G
+    through the updated Ds), and the G-side math are unchanged — with
+    BatchNorm/dropout disabled the fused and sequential bodies are
+    bit-identical (tests/test_fused_disc.py).
+    """
     def step(states: GANStates, x, y, mask, rng):
         k_g, k_td1, k_td2, k_td3 = jax.random.split(rng, 4)
         xy_real = jnp.concatenate([x, y], axis=-1)
 
-        # ---- 1) discriminator gradients on real -------------------------
-        def d_real_loss(fd_params, td_params):
-            p_rf, fd_bs = _apply_train_with_params(
-                fd_model, fd_params, states.fd.batch_stats, y
-            )
-            p_rt, td_bs = _apply_train_with_params(
-                td_model, td_params, states.td.batch_stats, xy_real,
-                rngs={"dropout": k_td1},
-            )
-            err_fd = bce(p_rf.reshape(-1), 1.0, mask=mask)
-            err_td = bce(p_rt.reshape(-1), 1.0, mask=mask)
-            return err_fd + err_td, (p_rf, p_rt, err_fd, err_td, fd_bs, td_bs)
+        if not fused_disc:
+            # ---- 1) discriminator gradients on real ---------------------
+            def d_real_loss(fd_params, td_params):
+                p_rf, fd_bs = _apply_train_with_params(
+                    fd_model, fd_params, states.fd.batch_stats, y
+                )
+                p_rt, td_bs = _apply_train_with_params(
+                    td_model, td_params, states.td.batch_stats, xy_real,
+                    rngs={"dropout": k_td1},
+                )
+                err_fd = bce(p_rf.reshape(-1), 1.0, mask=mask)
+                err_td = bce(p_rt.reshape(-1), 1.0, mask=mask)
+                return err_fd + err_td, (p_rf, p_rt, err_fd, err_td, fd_bs, td_bs)
 
-        (_, (p_rf, p_rt, err_fd_real, err_td_real, fd_bs1, td_bs1)), d_grads_real = (
-            jax.value_and_grad(d_real_loss, argnums=(0, 1), has_aux=True)(
-                states.fd.params, states.td.params
+            (_, (p_rf, p_rt, err_fd_real, err_td_real, fd_bs1, td_bs1)), d_grads_real = (
+                jax.value_and_grad(d_real_loss, argnums=(0, 1), has_aux=True)(
+                    states.fd.params, states.td.params
+                )
             )
-        )
 
-        # ---- 2) generate fake -------------------------------------------
-        fake, g_bs1 = _apply_train_with_params(
-            g_model, states.g.params, states.g.batch_stats, x,
-            rngs={"dropout": k_g},
-        )
-        fake_sg = jax.lax.stop_gradient(fake)
-        xy_fake_sg = jnp.concatenate([x, fake_sg], axis=-1)
+            # ---- 2) generate fake ---------------------------------------
+            fake, g_bs1 = _apply_train_with_params(
+                g_model, states.g.params, states.g.batch_stats, x,
+                rngs={"dropout": k_g},
+            )
+            fake_sg = jax.lax.stop_gradient(fake)
+            xy_fake_sg = jnp.concatenate([x, fake_sg], axis=-1)
 
-        # ---- 3) discriminator gradients on detached fake ----------------
-        def d_fake_loss(fd_params, td_params):
-            p_ff, fd_bs = _apply_train_with_params(
-                fd_model, fd_params, fd_bs1, fake_sg
-            )
-            p_ft, td_bs = _apply_train_with_params(
-                td_model, td_params, td_bs1, xy_fake_sg,
-                rngs={"dropout": k_td2},
-            )
-            err_fd = bce(p_ff.reshape(-1), 0.0, mask=mask)
-            err_td = bce(p_ft.reshape(-1), 0.0, mask=mask)
-            return err_fd + err_td, (p_ff, p_ft, err_fd, err_td, fd_bs, td_bs)
+            # ---- 3) discriminator gradients on detached fake ------------
+            def d_fake_loss(fd_params, td_params):
+                p_ff, fd_bs = _apply_train_with_params(
+                    fd_model, fd_params, fd_bs1, fake_sg
+                )
+                p_ft, td_bs = _apply_train_with_params(
+                    td_model, td_params, td_bs1, xy_fake_sg,
+                    rngs={"dropout": k_td2},
+                )
+                err_fd = bce(p_ff.reshape(-1), 0.0, mask=mask)
+                err_td = bce(p_ft.reshape(-1), 0.0, mask=mask)
+                return err_fd + err_td, (p_ff, p_ft, err_fd, err_td, fd_bs, td_bs)
 
-        (_, (p_ff, p_ft, err_fd_fake, err_td_fake, fd_bs2, td_bs2)), d_grads_fake = (
-            jax.value_and_grad(d_fake_loss, argnums=(0, 1), has_aux=True)(
-                states.fd.params, states.td.params
+            (_, (p_ff, p_ft, err_fd_fake, err_td_fake, fd_bs2, td_bs2)), d_grads_fake = (
+                jax.value_and_grad(d_fake_loss, argnums=(0, 1), has_aux=True)(
+                    states.fd.params, states.td.params
+                )
             )
-        )
+            fd_grads = _tree_add(d_grads_real[0], d_grads_fake[0])
+            td_grads = _tree_add(d_grads_real[1], d_grads_fake[1])
+        else:
+            # ---- 1+3 fused) generate fake, then ONE doubled-batch D pass
+            fake, g_bs1 = _apply_train_with_params(
+                g_model, states.g.params, states.g.batch_stats, x,
+                rngs={"dropout": k_g},
+            )
+            fake_sg = jax.lax.stop_gradient(fake)
+            y_all = jnp.concatenate([y, fake_sg], axis=0)
+            xy_all = jnp.concatenate(
+                [xy_real, jnp.concatenate([x, fake_sg], axis=-1)], axis=0
+            )
+
+            def d_loss(fd_params, td_params):
+                p_f_all, fd_bs = _apply_train_with_params(
+                    fd_model, fd_params, states.fd.batch_stats, y_all
+                )
+                p_t_all, td_bs = _apply_train_with_params(
+                    td_model, td_params, states.td.batch_stats, xy_all,
+                    rngs={"dropout": k_td1},
+                )
+                b = y.shape[0]
+                p_rf, p_ff = p_f_all.reshape(-1)[:b], p_f_all.reshape(-1)[b:]
+                p_rt, p_ft = p_t_all.reshape(-1)[:b], p_t_all.reshape(-1)[b:]
+                err_fd_real = bce(p_rf, 1.0, mask=mask)
+                err_td_real = bce(p_rt, 1.0, mask=mask)
+                err_fd_fake = bce(p_ff, 0.0, mask=mask)
+                err_td_fake = bce(p_ft, 0.0, mask=mask)
+                # per-half means, summed == the sequential path's
+                # accumulated real+fake gradients
+                total = err_fd_real + err_td_real + err_fd_fake + err_td_fake
+                return total, (
+                    p_rf, p_rt, p_ff, p_ft,
+                    err_fd_real, err_td_real, err_fd_fake, err_td_fake,
+                    fd_bs, td_bs,
+                )
+
+            (_, (p_rf, p_rt, p_ff, p_ft,
+                 err_fd_real, err_td_real, err_fd_fake, err_td_fake,
+                 fd_bs2, td_bs2)), (fd_grads, td_grads) = (
+                jax.value_and_grad(d_loss, argnums=(0, 1), has_aux=True)(
+                    states.fd.params, states.td.params
+                )
+            )
 
         # ---- 4) discriminator Adam step on accumulated gradients --------
-        fd_state = states.fd.apply_gradients(
-            fd_tx, _tree_add(d_grads_real[0], d_grads_fake[0])
-        )
-        td_state = states.td.apply_gradients(
-            td_tx, _tree_add(d_grads_real[1], d_grads_fake[1])
-        )
+        fd_state = states.fd.apply_gradients(fd_tx, fd_grads)
+        td_state = states.td.apply_gradients(td_tx, td_grads)
 
         # ---- 5) generator gradients through the UPDATED discriminators --
         def g_loss_fn(g_params):
