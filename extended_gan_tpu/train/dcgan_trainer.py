@@ -63,17 +63,19 @@ def _tree_add(a, b):
 
 
 def make_dcgan_train_step(
-    g_model, fd_model, td_model, g_tx, fd_tx, td_tx, *, fused_disc=False
+    g_model, fd_model, td_model, g_tx, fd_tx, td_tx, *, fused_disc=False,
+    dedup_g=False,
 ):
     body = _make_dcgan_step_body(
         g_model, fd_model, td_model, g_tx, fd_tx, td_tx,
-        fused_disc=fused_disc,
+        fused_disc=fused_disc, dedup_g=dedup_g,
     )
     return jax.jit(body, donate_argnums=(0,))
 
 
 def make_dcgan_megastep(
-    g_model, fd_model, td_model, g_tx, fd_tx, td_tx, *, fused_disc=False
+    g_model, fd_model, td_model, g_tx, fd_tx, td_tx, *, fused_disc=False,
+    dedup_g=False,
 ):
     """K train steps fused into ONE XLA program via lax.scan.
 
@@ -100,7 +102,7 @@ def make_dcgan_megastep(
     """
     body = _make_dcgan_step_body(
         g_model, fd_model, td_model, g_tx, fd_tx, td_tx,
-        fused_disc=fused_disc,
+        fused_disc=fused_disc, dedup_g=dedup_g,
     )
 
     @functools.partial(jax.jit, donate_argnums=(0,))
@@ -123,7 +125,8 @@ def make_dcgan_megastep(
 
 
 def _make_dcgan_step_body(
-    g_model, fd_model, td_model, g_tx, fd_tx, td_tx, *, fused_disc=False
+    g_model, fd_model, td_model, g_tx, fd_tx, td_tx, *, fused_disc=False,
+    dedup_g=False,
 ):
     """``fused_disc=True`` batches each discriminator's real and fake
     passes into ONE doubled-batch forward/backward (real rows first, fake
@@ -144,10 +147,38 @@ def _make_dcgan_step_body(
     through the updated Ds), and the G-side math are unchanged — with
     BatchNorm/dropout disabled the fused and sequential bodies are
     bit-identical (tests/test_fused_disc.py).
+
+    ``dedup_g=True`` runs the generator forward ONCE per step: the fake
+    batch is produced under ``jax.vjp`` and G's gradients arrive by
+    pulling the discriminator-side cotangent back through that captured
+    forward, instead of re-tracing G inside step 5's ``value_and_grad``.
+    This mirrors the reference's actual execution — torch computes
+    ``fake = netG(x)`` once (dcgan/train.py:122) and reuses its autograd
+    graph for ``errG.backward()`` (:150-160) — whereas the default body
+    recomputes a (numerically identical: same params, stats, dropout
+    key) forward that XLA may or may not CSE. Same math, same chain
+    rule; no semantic deviation (tests/test_dedup_g.py asserts equality
+    with the default body WITH BatchNorm and dropout active).
     """
     def step(states: GANStates, x, y, mask, rng):
         k_g, k_td1, k_td2, k_td3 = jax.random.split(rng, 4)
         xy_real = jnp.concatenate([x, y], axis=-1)
+
+        # ---- 2) generate fake (hoisted: independent of the D-real pass;
+        # under dedup_g the vjp captures THE generator forward of the step)
+        def g_fwd(g_params):
+            return _apply_train_with_params(
+                g_model, g_params, states.g.batch_stats, x,
+                rngs={"dropout": k_g},
+            )
+
+        g_pullback = None
+        if dedup_g:
+            fake, g_pullback, g_bs1 = jax.vjp(
+                g_fwd, states.g.params, has_aux=True)
+        else:
+            fake, g_bs1 = g_fwd(states.g.params)
+        fake_sg = jax.lax.stop_gradient(fake)
 
         if not fused_disc:
             # ---- 1) discriminator gradients on real ---------------------
@@ -169,12 +200,6 @@ def _make_dcgan_step_body(
                 )
             )
 
-            # ---- 2) generate fake ---------------------------------------
-            fake, g_bs1 = _apply_train_with_params(
-                g_model, states.g.params, states.g.batch_stats, x,
-                rngs={"dropout": k_g},
-            )
-            fake_sg = jax.lax.stop_gradient(fake)
             xy_fake_sg = jnp.concatenate([x, fake_sg], axis=-1)
 
             # ---- 3) discriminator gradients on detached fake ------------
@@ -198,12 +223,7 @@ def _make_dcgan_step_body(
             fd_grads = _tree_add(d_grads_real[0], d_grads_fake[0])
             td_grads = _tree_add(d_grads_real[1], d_grads_fake[1])
         else:
-            # ---- 1+3 fused) generate fake, then ONE doubled-batch D pass
-            fake, g_bs1 = _apply_train_with_params(
-                g_model, states.g.params, states.g.batch_stats, x,
-                rngs={"dropout": k_g},
-            )
-            fake_sg = jax.lax.stop_gradient(fake)
+            # ---- 1+3 fused) ONE doubled-batch D pass on real+fake rows
             y_all = jnp.concatenate([y, fake_sg], axis=0)
             xy_all = jnp.concatenate(
                 [xy_real, jnp.concatenate([x, fake_sg], axis=-1)], axis=0
@@ -246,27 +266,50 @@ def _make_dcgan_step_body(
         td_state = states.td.apply_gradients(td_tx, td_grads)
 
         # ---- 5) generator gradients through the UPDATED discriminators --
-        def g_loss_fn(g_params):
-            fake2, g_bs = _apply_train_with_params(
-                g_model, g_params, states.g.batch_stats, x,
-                rngs={"dropout": k_g},  # same mask as step 2 (torch reuse)
-            )
-            p_f, fd_bs3 = _apply_train_with_params(
-                fd_model, fd_state.params, fd_bs2, fake2
-            )
-            p_t, td_bs3 = _apply_train_with_params(
-                td_model, td_state.params, td_bs2,
-                jnp.concatenate([x, fake2], axis=-1),
-                rngs={"dropout": k_td3},
-            )
-            err = bce(p_f.reshape(-1), 1.0, mask=mask) + bce(
-                p_t.reshape(-1), 1.0, mask=mask
-            )
-            return err, (g_bs, fd_bs3, td_bs3)
+        if dedup_g:
+            # cotangent of the D-side loss w.r.t. the (single) fake batch,
+            # pulled back through the captured G forward
+            def g_out_loss(fake2):
+                p_f, fd_bs3 = _apply_train_with_params(
+                    fd_model, fd_state.params, fd_bs2, fake2
+                )
+                p_t, td_bs3 = _apply_train_with_params(
+                    td_model, td_state.params, td_bs2,
+                    jnp.concatenate([x, fake2], axis=-1),
+                    rngs={"dropout": k_td3},
+                )
+                err = bce(p_f.reshape(-1), 1.0, mask=mask) + bce(
+                    p_t.reshape(-1), 1.0, mask=mask
+                )
+                return err, (fd_bs3, td_bs3)
 
-        (err_g, (g_bs_final, fd_bs3, td_bs3)), g_grads = jax.value_and_grad(
-            g_loss_fn, has_aux=True
-        )(states.g.params)
+            (err_g, (fd_bs3, td_bs3)), fake_grad = jax.value_and_grad(
+                g_out_loss, has_aux=True
+            )(fake)
+            (g_grads,) = g_pullback(fake_grad)
+            g_bs_final = g_bs1  # recompute would be bit-identical
+        else:
+            def g_loss_fn(g_params):
+                fake2, g_bs = _apply_train_with_params(
+                    g_model, g_params, states.g.batch_stats, x,
+                    rngs={"dropout": k_g},  # same mask as step 2 (torch reuse)
+                )
+                p_f, fd_bs3 = _apply_train_with_params(
+                    fd_model, fd_state.params, fd_bs2, fake2
+                )
+                p_t, td_bs3 = _apply_train_with_params(
+                    td_model, td_state.params, td_bs2,
+                    jnp.concatenate([x, fake2], axis=-1),
+                    rngs={"dropout": k_td3},
+                )
+                err = bce(p_f.reshape(-1), 1.0, mask=mask) + bce(
+                    p_t.reshape(-1), 1.0, mask=mask
+                )
+                return err, (g_bs, fd_bs3, td_bs3)
+
+            (err_g, (g_bs_final, fd_bs3, td_bs3)), g_grads = (
+                jax.value_and_grad(g_loss_fn, has_aux=True)(states.g.params)
+            )
         g_state = states.g.apply_gradients(g_tx, g_grads).replace(
             batch_stats=g_bs_final
         )
