@@ -16,7 +16,9 @@ def test_step_timer_stats():
             time.sleep(0.01)
     s = t.stats()
     assert s["steps"] == 3
-    assert 0.005 < s["mean_s"] < 0.1
+    # upper bound is generous: on a loaded 1-core host sleep(0.01) can
+    # overshoot by 10x+; the assertion targets bookkeeping, not precision
+    assert 0.005 < s["mean_s"] < 5.0
     assert s["steps_per_sec"] > 0
 
 
@@ -49,7 +51,7 @@ def test_epoch_profiler_stats():
     assert s["profiled_steps"] == 5
     assert s["epoch_wall_s"] > 0.008
     assert s["steps_per_sec"] > 0
-    assert 0 < s["dispatch_mean_s"] < 1
+    assert 0 < s["dispatch_mean_s"] < 5.0
 
 
 def test_gat_driver_profile_into_history(tmp_path):
