@@ -35,6 +35,13 @@ def main():
     parser.add_argument("--spatial", action="store_true",
                         help="shard the frame-height axis over the model "
                              "axis (SP)")
+    parser.add_argument("--packed-g", dest="packed_g", default=None,
+                        action="store_true",
+                        help="compute the generators in 2x2 space-to-depth "
+                             "layout (identical function and param tree). "
+                             "Opt-in")
+    parser.add_argument("--no-packed-g", dest="packed_g",
+                        action="store_false")
     parser.add_argument("--multihost", action="store_true",
                         help="initialize the multi-host JAX runtime "
                              "(jax.distributed) before building the mesh — "
@@ -66,6 +73,7 @@ def main():
         model_axis=args.model_axis,
         tp_min_channels=args.tp_min_channels,
         spatial=args.spatial,
+        packed_g=args.packed_g,
     )
 
 

@@ -41,6 +41,13 @@ def main():
                              "into one doubled-batch fwd/bwd (fewer serial "
                              "net passes per step; BN batch statistics mix "
                              "real and fake — a documented deviation)")
+    parser.add_argument("--packed-g", dest="packed_g", default=None,
+                        action="store_true",
+                        help="compute the generator in 2x2 space-to-depth "
+                             "layout (identical function and param tree; "
+                             "MXU-shaped convs). Opt-in")
+    parser.add_argument("--no-packed-g", dest="packed_g",
+                        action="store_false")
     parser.add_argument("--profile", action="store_true",
                         help="record per-epoch step timing into the history")
     parser.add_argument("--profile-trace-dir", type=str, default="",
@@ -77,6 +84,7 @@ def main():
         spatial=args.spatial,
         megastep=args.megastep,
         fused_disc=args.fused_disc,
+        packed_g=args.packed_g,
         profile=args.profile,
         profile_trace_dir=args.profile_trace_dir,
     )

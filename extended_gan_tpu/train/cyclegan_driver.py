@@ -44,10 +44,11 @@ def build_cyclegan(
     cycle_lambda: float = 10.0,
     precision: str = "f32",
     seed: int = 369,
+    packed_g: bool = False,
 ):
     dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
-    g_xy = Generator(nc=nc, dtype=dtype)
-    g_yx = Generator(nc=nc, dtype=dtype)
+    g_xy = Generator(nc=nc, dtype=dtype, packed=packed_g)
+    g_yx = Generator(nc=nc, dtype=dtype, packed=packed_g)
     d_x = FrameDiscriminator(nc=nc, ndf=ndf, dtype=dtype)
     d_y = FrameDiscriminator(nc=nc, ndf=ndf, dtype=dtype)
     txs = tuple(adam(lr, b1=beta1) for _ in range(4))
@@ -92,6 +93,7 @@ def train(
     model_axis: int = 1,
     tp_min_channels: int = 256,
     spatial: bool = False,
+    packed_g: bool | None = None,
 ):
     """``save_epoch`` > 0 checkpoints the full 4-net state (params + BN
     stats + Adam moments + PRNG stream + epoch + history) every N epochs;
@@ -120,9 +122,15 @@ def train(
     mesh = MeshContext.create(data=data_axis, model=model_axis)
     print(f"mesh: data={mesh.n_data} model={mesh.n_model}"
           + (" (spatial)" if spatial else ""))
+    if packed_g is None:
+        # opt-in for now — see dcgan_driver: pack/unpack overhead eats
+        # most of the per-conv win; auto-ON awaits a fused-step win
+        packed_g = False
+    if packed_g:
+        print("[packed-g] generators in 2x2 space-to-depth layout")
     models, txs, states, step, eval_step, keys = build_cyclegan(
         nc=nc, ndf=ndf, imsize=imsize, lr=lr, cycle_lambda=cycle_lambda,
-        precision=precision, seed=seed,
+        precision=precision, seed=seed, packed_g=packed_g,
     )
 
     def place(s: CycleGANStates) -> CycleGANStates:

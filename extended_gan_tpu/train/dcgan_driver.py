@@ -47,11 +47,17 @@ DEFAULT_PARAMS = {
 DEFAULT_DATA = "/mnt/tmp/multi_channel_train_test"
 
 
-def build_dcgan(params: dict, *, precision: str = "f32", seed: int = 369):
-    """Construct models, optimizers and initialized states."""
+def build_dcgan(params: dict, *, precision: str = "f32", seed: int = 369,
+                packed_g: bool = False):
+    """Construct models, optimizers and initialized states.
+
+    ``packed_g`` builds the generator in 2x2 space-to-depth layout
+    (models/dcgan.py ``Generator(packed=True)``) — the identical function
+    and param tree, so checkpoints interchange between the modes.
+    """
     dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
     nc, ndf, im = params["nc"], params["ndf"], params["imsize"]
-    g_model = Generator(nc=nc, dtype=dtype)
+    g_model = Generator(nc=nc, dtype=dtype, packed=packed_g)
     fd_model = FrameDiscriminator(nc=nc, ndf=ndf, dtype=dtype)
     td_model = TemporalDiscriminator(nc=nc, ndf=ndf, dtype=dtype)
     g_tx = adam(params["lr"], b1=params["beta1"])
@@ -89,6 +95,7 @@ def train(
     spatial: bool = False,
     megastep: int = 0,
     fused_disc: bool = False,
+    packed_g: bool | None = None,
     profile: bool = False,
     profile_trace_dir: str = "",
 ):
@@ -103,7 +110,12 @@ def train(
     (TP) — XLA inserts the all-gathers/reduce-scatters over ICI. With
     ``spatial=True`` the model axis instead shards the frame-height axis of
     every batch (SP: params replicated, activations striped, XLA inserts
-    conv halo exchanges) — for frames too large for one chip's HBM."""
+    conv halo exchanges) — for frames too large for one chip's HBM.
+
+    ``packed_g`` recomputes the generator in 2x2 space-to-depth layout
+    (identical function/param tree; MXU-shaped convs). Currently opt-in
+    (default off): the per-conv win is real but pack/unpack overhead
+    leaves the forward near-neutral — see ops/space_to_depth.py."""
     params = {**DEFAULT_PARAMS, **(params or {})}
     if epochs is not None:
         params["nepochs"] = epochs
@@ -126,8 +138,15 @@ def train(
           + (" (spatial)" if spatial else ""))
     print("Random Seed: ", seed)
 
+    if packed_g is None:
+        # opt-in for now: per-conv TPU probes measure the packed convs
+        # 1.2-1.5x faster but pack2/unpack2 (~0.17 ms/forward) eat most
+        # of it; auto-ON awaits a full-fused-step win (probe_packed_g.py)
+        packed_g = False
+    if packed_g:
+        print("[packed-g] generator in 2x2 space-to-depth layout")
     models, txs, states, keys = build_dcgan(
-        params, precision=precision, seed=seed
+        params, precision=precision, seed=seed, packed_g=packed_g
     )
     def place(s: GANStates) -> GANStates:
         s = mesh.put_replicated(s)

@@ -1,0 +1,79 @@
+"""Fused dcgan step device time: packed (space-to-depth) G vs unpacked.
+
+The decomposition probe (probe_dcgan_decomp.py) attributes the majority
+of the step's device time to the generator's five full-res small-channel
+convs. Generator(packed=True) recomputes them in 2x2 space-to-depth
+layout (ops/space_to_depth.py — exact same function, MXU-shaped convs).
+This probe answers the decisive question: does the FULL fused train step
+get faster?
+
+Method: megastep (lax.scan of K steps, donated state) timed to data at
+K in {16, 64}; slope = true device ms/step, intercept-free. Same
+protocol as bench.py's two-K decomposition.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    from extended_gan_tpu.models.dcgan import Generator
+    from extended_gan_tpu.train.dcgan_driver import DEFAULT_PARAMS, build_dcgan
+    from extended_gan_tpu.train.dcgan_trainer import make_dcgan_megastep
+
+    precision = sys.argv[1] if len(sys.argv) > 1 else "f32"
+    batch = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+    dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
+
+    rng = np.random.RandomState(0)
+    print(f"precision={precision} batch={batch} "
+          f"backend={jax.default_backend()}", flush=True)
+
+    results = {}
+    for packed in (False, True):
+        models, txs, states, keys = build_dcgan(
+            dict(DEFAULT_PARAMS), precision=precision, seed=0)
+        g_model, fd_model, td_model = models
+        g_model = Generator(nc=g_model.nc, dropout=g_model.dropout,
+                            dtype=dtype, packed=packed)
+        mega = make_dcgan_megastep(g_model, fd_model, td_model, *txs)
+
+        per_k = {}
+        for K in (16, 64):
+            xs = jnp.asarray(rng.rand(K, batch, 64, 64, 4), jnp.float32)
+            ys = jnp.asarray(rng.rand(K, batch, 64, 64, 4), jnp.float32)
+            masks = jnp.ones((K, batch), jnp.float32)
+            rngs = jax.random.split(jax.random.PRNGKey(3), K)
+
+            s = jax.tree_util.tree_map(jnp.copy, states)
+            s, logs = mega(s, xs, ys, masks, rngs)  # compile + warm
+            float(jax.device_get(logs["loss_g"]))
+            best = float("inf")
+            for _ in range(4):
+                s2 = jax.tree_util.tree_map(jnp.copy, s)
+                t0 = time.perf_counter()
+                s2, logs = mega(s2, xs, ys, masks, rngs)
+                float(jax.device_get(logs["loss_g"]))  # time-to-data
+                best = min(best, time.perf_counter() - t0)
+            per_k[K] = best
+            print(f"  packed={packed} K={K}: {best*1e3:8.2f} ms "
+                  f"({best/K*1e3:6.3f} ms/step raw)", flush=True)
+        slope = (per_k[64] - per_k[16]) / 48.0
+        results[packed] = slope
+        print(f"  packed={packed}: device {slope*1e3:.3f} ms/step "
+              f"({1.0/slope:.1f} steps/s)", flush=True)
+
+    print(f"speedup (unpacked/packed): {results[False]/results[True]:.2f}x")
+
+
+if __name__ == "__main__":
+    main()
