@@ -155,6 +155,41 @@ def test_fused_step_parity():
                                        rtol=1e-3, atol=budget)
 
 
+@pytest.mark.slow
+def test_checkpoint_interchange_with_unpacked(tmp_path):
+    """A checkpoint written by a packed_g run restores into BOTH layouts
+    (identical param trees), and the two resumed runs continue
+    equivalently — the 'checkpoints and RNG streams interchange' claim,
+    driven through the real save/resume path. The continued epoch is
+    compared packed-resume vs unpacked-resume (same restored state, one
+    epoch of reassociation-scale divergence), not against a from-scratch
+    oracle, so the tolerance stays tight."""
+    from extended_gan_tpu.train.dcgan_driver import train
+
+    common = dict(
+        train_batch_size=8, test_batch_size=8, max_batches=2,
+        synthetic=True, seed=101, params={"ndf": 8, "save_epoch": 1},
+    )
+    out_a = str(tmp_path / "a")
+    train(epochs=1, out_dir=out_a, packed_g=True, **common)
+    out_b = str(tmp_path / "b")
+    import shutil
+
+    shutil.copytree(out_a, out_b)
+
+    _, h_packed = train(epochs=2, out_dir=out_a, resume=True,
+                        packed_g=True, **common)
+    _, h_unpacked = train(epochs=2, out_dir=out_b, resume=True,
+                          packed_g=False, **common)
+    assert len(h_unpacked.history["pred_mse"]) == 2
+    np.testing.assert_allclose(
+        h_unpacked.history["pred_mse"], h_packed.history["pred_mse"],
+        rtol=2e-3)
+    np.testing.assert_allclose(
+        h_unpacked.history["train_mse"], h_packed.history["train_mse"],
+        rtol=2e-3)
+
+
 def test_grad_parity():
     g_u, v = _init(packed=False, dropout=0.0)
     g_p, _ = _init(packed=True, dropout=0.0)
