@@ -47,6 +47,16 @@ def main():
     parser.add_argument("--profile-trace-dir", type=str, default="",
                         help="capture a jax.profiler trace of the first "
                              "epoch into this directory (implies --profile)")
+    parser.add_argument("--use-pallas", dest="use_pallas", default=None,
+                        action="store_true",
+                        help="force the fused Pallas kernels (GAT "
+                             "attention, SmaAt-UNet DSC) on. Default: "
+                             "auto — ON on TPU, OFF elsewhere (config "
+                             "key USE_PALLAS)")
+    parser.add_argument("--no-use-pallas", dest="use_pallas",
+                        action="store_false",
+                        help="force the unfused XLA path (A/B runs, "
+                             "Pallas-kernel triage)")
     parser.add_argument("--multihost", action="store_true",
                         help="initialize the multi-host JAX runtime "
                              "(jax.distributed) before building the mesh — "
@@ -78,6 +88,7 @@ def main():
             data_axis=args.data_axis,
             model_axis=args.model_axis,
             megastep=args.megastep,
+            use_pallas=args.use_pallas,
             profile=args.profile,
             profile_trace_dir=args.profile_trace_dir,
         )
@@ -96,6 +107,7 @@ def main():
             profile_trace_dir=args.profile_trace_dir or None,
             spatial=args.spatial or None,
             megastep=args.megastep or None,
+            use_pallas=args.use_pallas,
         )
         if args.model_axis != 1:
             overrides["model_axis"] = args.model_axis

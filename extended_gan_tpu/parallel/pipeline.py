@@ -39,7 +39,6 @@ from typing import Any, Callable, Sequence
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from .mesh import MeshContext
@@ -73,8 +72,6 @@ def shard_stage_params(stacked: Any, mesh: MeshContext):
 def make_pipeline_apply(
     stage_fn: Callable[[Any, jax.Array], jax.Array],
     mesh: MeshContext,
-    *,
-    extra_output: bool = False,
 ):
     """Build the pipelined forward for ``S = mesh model-axis size`` stages.
 
@@ -89,7 +86,6 @@ def make_pipeline_apply(
     S = mesh.mesh.shape["model"]
     axes = mesh.mesh.axis_names
     data = ("dcn", "data") if "dcn" in axes else "data"
-    spec_none = tuple(None for _ in axes)
 
     @functools.partial(
         jax.shard_map,
@@ -126,10 +122,7 @@ def make_pipeline_apply(
         # broadcast the last stage's result to every stage rank
         return jax.lax.psum(out, "model")
 
-    def apply(stacked_params, xs):
-        return run(stacked_params, xs)
-
-    return apply
+    return run
 
 
 def microbatch(x: jax.Array, n_microbatches: int) -> jax.Array:

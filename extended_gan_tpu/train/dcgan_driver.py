@@ -254,8 +254,12 @@ def train(
                          "key": np.asarray(keys.state), "mid": mid_out},
                     )
                     history.to_json(hist_path)
-                print(f"[preempt] stopped resumably mid-epoch {epoch} "
-                      f"({int(mid_out['batch'])} batches in)")
+                    print(f"[preempt] stopped resumably mid-epoch {epoch} "
+                          f"({int(mid_out['batch'])} batches in)")
+                else:
+                    print(f"[preempt] stopped mid-epoch {epoch} WITHOUT a "
+                          "snapshot — no checkpointing configured (set "
+                          "save_epoch / --save-epoch); progress is lost")
                 break
             mid = empty_mid()
             test_result = test(
@@ -284,7 +288,12 @@ def train(
                 )
                 history.to_json(hist_path)
             if preempted:
-                print(f"[preempt] stopped resumably after epoch {epoch}")
+                if ckpt_mgr is not None:
+                    print(f"[preempt] stopped resumably after epoch {epoch}")
+                else:
+                    print(f"[preempt] stopped after epoch {epoch} WITHOUT "
+                          "a snapshot — no checkpointing configured (set "
+                          "save_epoch / --save-epoch)")
                 break
     finally:
         shutdown.__exit__()

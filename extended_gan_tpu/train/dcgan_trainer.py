@@ -417,8 +417,10 @@ def _megafeed(loader, mesh, batch_size, k: int, depth=2):
     """Stage K loader batches into one (K, B, ...) megabatch per yield —
     feeds :func:`make_dcgan_megastep` (K adversarial steps per XLA
     program; per-program dispatch overhead paid once per K steps —
-    BENCH_NOTES round 3). Yields ``(consumed, k_actual, (xs, ys, masks))``
-    with the epoch tail as a final shorter group."""
+    BENCH_NOTES round 3). Yields ``(k_actual, (xs, ys, masks))`` with
+    the epoch tail as a final shorter group. (Unlike ``gat_megafeed``
+    there is no batches-consumed vs batches-staged distinction: this
+    loader drops nothing, so k_actual counts both.)"""
     import numpy as np
 
     from ..data.streaming import Prefetcher
@@ -426,18 +428,16 @@ def _megafeed(loader, mesh, batch_size, k: int, depth=2):
     padded = mesh.padded_batch_size(batch_size)
 
     def grouped():
-        buf, consumed = [], 0
+        buf = []
         for item in loader:
-            consumed += 1
             buf.append(item)
             if len(buf) == k:
-                yield consumed, buf
-                buf, consumed = [], 0
+                yield buf
+                buf = []
         if buf:
-            yield consumed, buf
+            yield buf
 
-    def prepare(item):
-        consumed, buf = item
+    def prepare(buf):
         xs, ys, ms = [], [], []
         for x, y in buf:
             xp, yp, m = mesh.pad_to_batch_multiple(
@@ -447,7 +447,7 @@ def _megafeed(loader, mesh, batch_size, k: int, depth=2):
             ms.append(m)
         staged = mesh.put_megabatch(
             np.stack(xs), np.stack(ys), np.stack(ms))
-        return consumed, len(buf), staged
+        return len(buf), staged
 
     return Prefetcher(grouped(), depth=depth, transfer=prepare)
 
@@ -512,14 +512,14 @@ def train_single_epoch(
         import jax.numpy as jnp
 
         assert not spatial, "megastep is not combinable with spatial"
-        for consumed, k, (xs, ys, ms) in _megafeed(
+        for k, (xs, ys, ms) in _megafeed(
             dataloader, mesh, batch_size, megastep_k
         ):
             rngs = jnp.stack([rng_keys.next() for _ in range(k)])
             with step_cm():
                 states, logs = megastep_fn(states, xs, ys, ms, rngs)
             pending.append(logs)  # *_nd already summed over the k steps
-            n_done += consumed
+            n_done += k
             if shutdown is not None and shutdown.requested:
                 interrupted = True
                 break

@@ -427,8 +427,13 @@ def train(
                          "mid": {k: np.asarray(v)
                                  for k, v in mid_out.items()}},
                     )
-                print(f"[preempt] stopped resumably mid-epoch {epoch} "
-                      f"({int(mid_out['batch'])} batches in)")
+                    print(f"[preempt] stopped resumably mid-epoch {epoch} "
+                          f"({int(mid_out['batch'])} batches in)")
+                else:
+                    print(f"[preempt] stopped mid-epoch {epoch} WITHOUT a "
+                          "snapshot — no checkpointing configured (set "
+                          "CHECKPOINT_EVERY / checkpoint_every); progress "
+                          "is lost")
                 break
             mid = _empty_gat_mid()
             if output_path:
@@ -464,7 +469,12 @@ def train(
                      "mid": _empty_gat_mid()},
                 )
             if preempted:
-                print(f"[preempt] stopped resumably after epoch {epoch}")
+                if ckpt_mgr is not None:
+                    print(f"[preempt] stopped resumably after epoch {epoch}")
+                else:
+                    print(f"[preempt] stopped after epoch {epoch} WITHOUT "
+                          "a snapshot — no checkpointing configured (set "
+                          "CHECKPOINT_EVERY / checkpoint_every)")
                 break
     finally:
         shutdown.__exit__()

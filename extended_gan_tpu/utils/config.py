@@ -52,6 +52,10 @@ class ExperimentConfig:
     remat: bool = False  # rematerialize forward in backward (saves HBM)
     shuffle_mode: str = "batch"  # "batch" (reference) | "global" mixing
     megastep: int = 0  # K>1: K train steps fused into one XLA program
+    spatial: bool = False  # SP: stripe the frame axis over model_axis
+    # fused Pallas kernels (GAT attention, SmaAt-UNet DSC);
+    # None = auto (ON on TPU, OFF elsewhere)
+    use_pallas: bool | None = None
 
     def to_dict(self) -> dict[str, Any]:
         return dataclasses.asdict(self)

@@ -10,8 +10,13 @@ packed) equivalent: x[64,64,C] -> xp[32,32,4C], w[4,4,Cin,Cout] ->
 wp[3,3,4Cin,4Cout], conv SAME-on-packed == phase-interleaved original
 output. The packed kernel does ~2.25x the MACs (3x3 packed window
 covers 6x6 pixels vs 4x4) but fills the contraction and lane dims, so
-it should win by several x if the util story is right. Numerics are
-checked exactly (the extra terms multiply structural zeros).
+it should win if the util story is right. Numerics are checked exactly
+(the extra terms multiply structural zeros).
+
+Measured verdict (v5e via relay, f32 b32): per-conv 1.2-1.5x, but
+pack2/unpack2 (~0.165 ms/application) eat most of it at forward
+granularity — recorded in ops/space_to_depth.py, which now owns the
+packing transforms this probe imports.
 """
 
 from __future__ import annotations
@@ -25,6 +30,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+from extended_gan_tpu.ops.space_to_depth import (
+    pack2,
+    pack_conv_weights,
+    packed_conv_same,
+    unpack2,
+)
 
 
 def _timeit_scan_fixed_k(body, x, K, n_programs=8, trials=3):
@@ -63,57 +75,6 @@ def conv_same(x, w):
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
 
-def pack2(x):
-    """(B, H, W, C) -> (B, H/2, W/2, 4C); phase-major channel layout
-    [(dy,dx)=(0,0)C, (0,1)C, (1,0)C, (1,1)C]."""
-    b, h, w, c = x.shape
-    x = x.reshape(b, h // 2, 2, w // 2, 2, c)
-    x = x.transpose(0, 1, 3, 2, 4, 5)  # B, H2, W2, dy, dx, C
-    return x.reshape(b, h // 2, w // 2, 4 * c)
-
-
-def unpack2(xp):
-    b, h2, w2, c4 = xp.shape
-    c = c4 // 4
-    x = xp.reshape(b, h2, w2, 2, 2, c)
-    x = x.transpose(0, 1, 3, 2, 4, 5)
-    return x.reshape(b, h2 * 2, w2 * 2, c)
-
-
-def pack_weights(w):
-    """(4, 4, Cin, Cout) stride-1 SAME(1,2) -> (3, 3, 4Cin, 4Cout) packed
-    stride-1 SAME(1,1) producing the packed-layout output exactly.
-
-    Output phase (py, px) at packed cell (i, j) is the original output
-    pixel (2i+py, 2j+px) = sum over ky,kx of w[ky,kx] * x[2i+py+ky-1,
-    2j+px+kx-1]. Writing the input pixel as packed cell (i+u, j+v) phase
-    (qy, qx): 2(i+u)+qy = 2i+py+ky-1 => ky = 2u+qy-py+1 (and same in x).
-    For ky in 0..3 and qy,py in 0..1, u ranges over {-1,0,1} -> 3 taps.
-    """
-    cin, cout = w.shape[2], w.shape[3]
-    wp = np.zeros((3, 3, 4 * cin, 4 * cout), w.dtype)
-    for py in range(2):
-        for px in range(2):
-            for qy in range(2):
-                for qx in range(2):
-                    for u in range(-1, 2):
-                        for v in range(-1, 2):
-                            ky = 2 * u + qy - py + 1
-                            kx = 2 * v + qx - px + 1
-                            if 0 <= ky < 4 and 0 <= kx < 4:
-                                wp[u + 1, v + 1,
-                                   (2 * qy + qx) * cin:(2 * qy + qx + 1) * cin,
-                                   (2 * py + px) * cout:(2 * py + px + 1) * cout] \
-                                    = w[ky, kx]
-    return jnp.asarray(wp)
-
-
-def conv_packed(xp, wp):
-    return jax.lax.conv_general_dilated(
-        xp, wp, (1, 1), ((1, 1), (1, 1)),
-        dimension_numbers=("NHWC", "HWIO", "NHWC"))
-
-
 def main():
     batch = 32
     rng = np.random.RandomState(0)
@@ -126,16 +87,16 @@ def main():
 
         # numerics check: packed == direct (exact zeros padding)
         ref = conv_same(x, w)
-        got = unpack2(conv_packed(pack2(x), pack_weights(np.asarray(w))))
+        got = unpack2(packed_conv_same(pack2(x), pack_conv_weights(w)))
         err = float(jnp.max(jnp.abs(ref - got)))
         scale = float(jnp.max(jnp.abs(ref)))
 
         t_d = timeit_scan(lambda x, c: jnp.mean(
             conv_same(x + c * 1e-9, w)), x)
-        wp = pack_weights(np.asarray(w))
+        wp = pack_conv_weights(w)
         xp = pack2(x)
         t_p = timeit_scan(lambda xp, c: jnp.mean(
-            conv_packed(xp + c * 1e-9, wp)), xp)
+            packed_conv_same(xp + c * 1e-9, wp)), xp)
         tot_d += t_d
         tot_p += t_p
         print(f"  {cin:3d}->{cout:3d}: direct {t_d*1e3:7.4f} ms, "

@@ -56,13 +56,13 @@ def main():
 
             s = jax.tree_util.tree_map(jnp.copy, states)
             s, logs = mega(s, xs, ys, masks, rngs)  # compile + warm
-            float(jax.device_get(logs["loss_g"]))
+            float(jax.device_get(logs["errG"].ravel()[-1]))
             best = float("inf")
             for _ in range(4):
                 s2 = jax.tree_util.tree_map(jnp.copy, s)
                 t0 = time.perf_counter()
                 s2, logs = mega(s2, xs, ys, masks, rngs)
-                float(jax.device_get(logs["loss_g"]))  # time-to-data
+                float(jax.device_get(logs["errG"].ravel()[-1]))  # time-to-data
                 best = min(best, time.perf_counter() - t0)
             per_k[K] = best
             print(f"  packed={packed} K={K}: {best*1e3:8.2f} ms "

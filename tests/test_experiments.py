@@ -26,6 +26,22 @@ def test_load_experiment_config_literal_parsing(tmp_path):
     assert cfg.output_path == str(tmp_path)
 
 
+def test_tpu_knob_config_keys_are_recognized(tmp_path):
+    """USE_PALLAS / SPATIAL are documented config knobs (demo config,
+    gat_driver docstring) — they must land in ExperimentConfig, not be
+    dropped as unknown keys (round-3 review finding)."""
+    (tmp_path / "config.py").write_text(
+        'MODEL_TYPE = "temporal"\n'
+        "USE_PALLAS = False\n"
+        "SPATIAL = True\n"
+        "MEGASTEP = 8\n"
+    )
+    cfg = load_experiment_config(str(tmp_path))
+    assert cfg.use_pallas is False
+    assert cfg.spatial is True
+    assert cfg.megastep == 8
+
+
 def test_load_legacy_torch_style_config(tmp_path):
     """Reference-era configs holding torch objects must still parse
     (generate_experiment.py:16 exec'd them; we extract names)."""
