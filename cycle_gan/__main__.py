@@ -35,6 +35,11 @@ def main():
     parser.add_argument("--spatial", action="store_true",
                         help="shard the frame-height axis over the model "
                              "axis (SP)")
+    parser.add_argument("--megastep", type=int, default=0,
+                        help="K>1: scan K CycleGAN steps into ONE XLA "
+                             "program (amortizes per-program dispatch "
+                             "overhead K-ways; decisive on remote-"
+                             "attached chips)")
     parser.add_argument("--packed-g", dest="packed_g", default=None,
                         action="store_true",
                         help="compute the generators in 2x2 space-to-depth "
@@ -74,6 +79,7 @@ def main():
         tp_min_channels=args.tp_min_channels,
         spatial=args.spatial,
         packed_g=args.packed_g,
+        megastep=args.megastep,
     )
 
 

@@ -94,13 +94,16 @@ def train(
     tp_min_channels: int = 256,
     spatial: bool = False,
     packed_g: bool | None = None,
+    megastep: int = 0,
 ):
     """``save_epoch`` > 0 checkpoints the full 4-net state (params + BN
     stats + Adam moments + PRNG stream + epoch + history) every N epochs;
     ``resume=True`` continues the run bit-exactly — the failure-recovery
     path the reference's (broken) cycle_gan trainer never had.
     ``spatial=True`` stripes the frame-height axis over the model axis
-    (SP; params replicated, TP auto-disabled)."""
+    (SP; params replicated, TP auto-disabled). ``megastep=K`` (K>1) scans
+    K steps into one XLA program (same mode as dcgan/conv-GAT; not
+    combinable with ``spatial``)."""
     data_location = data_location or DEFAULT_DATA
     if synthetic or not os.path.isdir(data_location):
         from ..data.synthetic import ensure_synthetic_coastal
@@ -132,6 +135,16 @@ def train(
         nc=nc, ndf=ndf, imsize=imsize, lr=lr, cycle_lambda=cycle_lambda,
         precision=precision, seed=seed, packed_g=packed_g,
     )
+    megastep_fn = None
+    if megastep > 1:
+        if spatial:
+            raise ValueError("--megastep is not combinable with --spatial "
+                             "(put_megabatch shards the batch axis only)")
+        from .cyclegan_trainer import make_cyclegan_megastep
+
+        megastep_fn = make_cyclegan_megastep(
+            *models, *txs, cycle_lambda=cycle_lambda)
+        print(f"[megastep] {megastep} steps per XLA program")
 
     def place(s: CycleGANStates) -> CycleGANStates:
         s = mesh.put_replicated(s)
@@ -197,23 +210,46 @@ def train(
                 profiler.start_epoch()
             pending = []
             interrupted = False
-            for i, (x, y, mask) in enumerate(
-                _feed(train_it, mesh, train_batch_size, spatial=spatial)
-            ):
-                with step_cm():
-                    states, logs = step(states, x, y, mask, keys.next())
-                pending.append(logs["train_mse_nd"])
-                if i % log_every == 0:
+            if megastep_fn is not None:
+                import jax.numpy as jnp
+
+                from .dcgan_trainer import _megafeed
+
+                for k, (xs, ys, ms) in _megafeed(
+                    train_it, mesh, train_batch_size, megastep
+                ):
+                    rngs = jnp.stack([keys.next() for _ in range(k)])
+                    with step_cm():
+                        states, logs = megastep_fn(states, xs, ys, ms, rngs)
+                    pending.append(logs["train_mse_nd"])  # summed over k
+                    n_done += k
                     print(
                         f"Loss_G: {float(logs['g_loss']):.4f}\t"
                         f"cycle: {float(logs['cycle_loss']):.4f}\t"
                         f"Loss_DX: {float(logs['d_x_loss']):.4f}\t"
                         f"Loss_DY: {float(logs['d_y_loss']):.4f}"
                     )
-                if shutdown.requested:
-                    interrupted = True
-                    n_done += i + 1
-                    break
+                    if shutdown.requested:
+                        interrupted = True
+                        break
+            else:
+                for i, (x, y, mask) in enumerate(
+                    _feed(train_it, mesh, train_batch_size, spatial=spatial)
+                ):
+                    with step_cm():
+                        states, logs = step(states, x, y, mask, keys.next())
+                    pending.append(logs["train_mse_nd"])
+                    if i % log_every == 0:
+                        print(
+                            f"Loss_G: {float(logs['g_loss']):.4f}\t"
+                            f"cycle: {float(logs['cycle_loss']):.4f}\t"
+                            f"Loss_DX: {float(logs['d_x_loss']):.4f}\t"
+                            f"Loss_DY: {float(logs['d_y_loss']):.4f}"
+                        )
+                    if shutdown.requested:
+                        interrupted = True
+                        n_done += i + 1
+                        break
             import jax
 
             for nd in jax.device_get(pending):

@@ -44,7 +44,56 @@ def make_cyclegan_train_step(
     g_xy_tx, g_yx_tx, d_x_tx, d_y_tx,
     *, cycle_lambda: float = 10.0,
 ):
+    body = _make_cyclegan_step_body(
+        g_xy_model, g_yx_model, d_x_model, d_y_model,
+        g_xy_tx, g_yx_tx, d_x_tx, d_y_tx, cycle_lambda=cycle_lambda,
+    )
+    return jax.jit(body, donate_argnums=(0,))
+
+
+def make_cyclegan_megastep(
+    g_xy_model, g_yx_model, d_x_model, d_y_model,
+    g_xy_tx, g_yx_tx, d_x_tx, d_y_tx,
+    *, cycle_lambda: float = 10.0,
+):
+    """K CycleGAN train steps fused into ONE XLA program via lax.scan —
+    the same overhead-amortizing mode dcgan/conv-GAT ship
+    (make_dcgan_megastep docstring has the measurement story).
+
+    Signature: megastep(states, xs, ys, masks, rngs) with a leading K
+    axis on every batch input. Returned logs: ``*_nd`` accumulator pairs
+    are summed over the K steps (exact (num, denom) sums); scalar losses
+    are the LAST step's, matching a periodic console print.
+    """
+    body = _make_cyclegan_step_body(
+        g_xy_model, g_yx_model, d_x_model, d_y_model,
+        g_xy_tx, g_yx_tx, d_x_tx, d_y_tx, cycle_lambda=cycle_lambda,
+    )
+
     @functools.partial(jax.jit, donate_argnums=(0,))
+    def megastep(states: CycleGANStates, xs, ys, masks, rngs):
+        def scan_body(s, inp):
+            x, y, m, r = inp
+            s, logs = body(s, x, y, m, r)
+            return s, logs
+
+        states, stacked = jax.lax.scan(
+            scan_body, states, (xs, ys, masks, rngs)
+        )
+        logs = {
+            k: jnp.sum(v, axis=0) if k.endswith("_nd") else v[-1]
+            for k, v in stacked.items()
+        }
+        return states, logs
+
+    return megastep
+
+
+def _make_cyclegan_step_body(
+    g_xy_model, g_yx_model, d_x_model, d_y_model,
+    g_xy_tx, g_yx_tx, d_x_tx, d_y_tx,
+    *, cycle_lambda: float = 10.0,
+):
     def step(states: CycleGANStates, x, y, mask, rng):
         k1, k2, k3, k4 = jax.random.split(rng, 4)
 
