@@ -106,6 +106,33 @@ def test_manager_restores_v1_dir_without_sidecar(tmp_path):
     assert int(restored["epoch"]) == 1
 
 
+def test_manager_ignores_interrupted_save(tmp_path):
+    """Crash consistency: a power loss mid-save leaves an UNCOMMITTED
+    ``<step>.orbax-checkpoint-tmp-*`` directory (Orbax commits via atomic
+    rename). Reopening the directory must fall back to the last committed
+    step — not fail, and not restore partial state."""
+    import shutil
+
+    d = str(tmp_path / "ckpt")
+    mgr = CheckpointManager(d, max_to_keep=3)
+    mgr.save(1, {"params": _params(jnp.float32), "epoch": 1})
+    mgr.save(2, {"params": _params(jnp.float32), "epoch": 2})
+    mgr.close()
+    # simulate a crash during the step-3 save: committed-step-2 payload
+    # copied under an uncommitted tmp name
+    shutil.copytree(os.path.join(d, "2"),
+                    os.path.join(d, "3.orbax-checkpoint-tmp-1755474000"))
+
+    mgr2 = CheckpointManager(d)
+    assert mgr2.latest_step() == 2
+    restored = mgr2.restore({"params": _params(jnp.float32), "epoch": 0})
+    assert int(restored["epoch"]) == 2
+    # recovery continues cleanly: the next save commits and becomes latest
+    mgr2.save(3, {"params": _params(jnp.float32), "epoch": 3})
+    assert mgr2.latest_step() == 3
+    mgr2.close()
+
+
 def test_manager_rejects_future_sidecar(tmp_path):
     d = str(tmp_path / "ckpt")
     os.makedirs(d)
