@@ -261,13 +261,35 @@ class MeshContext:
                 out.append(jax.device_put(a, self.sharding(dp)))
         return out[0] if len(out) == 1 else out
 
-    def put_megabatch(self, *arrays: Any):
+    def put_megabatch(self, *arrays: Any, spatial: bool = False):
         """Host->device transfer of K-step staged batches (K, B, ...):
-        axis 0 (steps) replicated, axis 1 (batch) sharded over DP."""
+        axis 0 (steps) replicated, axis 1 (batch) sharded over DP.
+
+        ``spatial=True`` additionally stripes axis 2 (frame height) of
+        every rank>=3 array over the ``model`` axis — the megastep
+        analogue of :meth:`put_batch_spatial` (masks of shape (K, B)
+        shard over DP only); XLA inserts the same conv halo exchanges
+        inside the scanned program."""
         dp = ("dcn", "data") if "dcn" in self.mesh.axis_names else "data"
         sharding = self.sharding(None, dp)
-        out = tuple(jax.device_put(a, sharding) for a in arrays)
-        return out[0] if len(out) == 1 else out
+        if not spatial:
+            out = tuple(jax.device_put(a, sharding) for a in arrays)
+            return out[0] if len(out) == 1 else out
+        sp = self.n_model
+        out = []
+        for a in arrays:
+            if getattr(a, "ndim", 0) >= 3:
+                h = a.shape[2]
+                if h % sp:
+                    raise ValueError(
+                        f"spatial axis: frame height {h} not divisible "
+                        f"by model-axis size {sp}"
+                    )
+                out.append(
+                    jax.device_put(a, self.sharding(None, dp, "model")))
+            else:
+                out.append(jax.device_put(a, sharding))
+        return out[0] if len(out) == 1 else tuple(out)
 
     def put_replicated(self, tree: Any):
         return jax.device_put(tree, self.replicated)

@@ -102,8 +102,8 @@ def train(
     path the reference's (broken) cycle_gan trainer never had.
     ``spatial=True`` stripes the frame-height axis over the model axis
     (SP; params replicated, TP auto-disabled). ``megastep=K`` (K>1) scans
-    K steps into one XLA program (same mode as dcgan/conv-GAT; not
-    combinable with ``spatial``)."""
+    K steps into one XLA program (same mode as dcgan/conv-GAT; composes
+    with SP — the staged megabatch stripes the frame axis too)."""
     data_location = data_location or DEFAULT_DATA
     if synthetic or not os.path.isdir(data_location):
         from ..data.synthetic import ensure_synthetic_coastal
@@ -137,9 +137,6 @@ def train(
     )
     megastep_fn = None
     if megastep > 1:
-        if spatial:
-            raise ValueError("--megastep is not combinable with --spatial "
-                             "(put_megabatch shards the batch axis only)")
         from .cyclegan_trainer import make_cyclegan_megastep
 
         megastep_fn = make_cyclegan_megastep(
@@ -216,7 +213,8 @@ def train(
                 from .dcgan_trainer import _megafeed
 
                 for k, (xs, ys, ms) in _megafeed(
-                    train_it, mesh, train_batch_size, megastep
+                    train_it, mesh, train_batch_size, megastep,
+                    spatial=spatial
                 ):
                     rngs = jnp.stack([keys.next() for _ in range(k)])
                     with step_cm():

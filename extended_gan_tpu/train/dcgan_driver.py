@@ -167,9 +167,6 @@ def train(
     eval_step = make_dcgan_eval_step(*models)
     megastep_fn = None
     if megastep > 1:
-        if spatial:
-            raise ValueError("--megastep is not combinable with --spatial "
-                             "(put_megabatch shards the batch axis only)")
         from .dcgan_trainer import make_dcgan_megastep
 
         megastep_fn = make_dcgan_megastep(*models, *txs,

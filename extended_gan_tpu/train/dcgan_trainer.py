@@ -413,14 +413,17 @@ def _feed(loader, mesh, batch_size, spatial=False):
     return Prefetcher(iter(loader), depth=2, transfer=prepare)
 
 
-def _megafeed(loader, mesh, batch_size, k: int, depth=2):
+def _megafeed(loader, mesh, batch_size, k: int, depth=2,
+              spatial: bool = False):
     """Stage K loader batches into one (K, B, ...) megabatch per yield —
     feeds :func:`make_dcgan_megastep` (K adversarial steps per XLA
     program; per-program dispatch overhead paid once per K steps —
     BENCH_NOTES round 3). Yields ``(k_actual, (xs, ys, masks))`` with
     the epoch tail as a final shorter group. (Unlike ``gat_megafeed``
     there is no batches-consumed vs batches-staged distinction: this
-    loader drops nothing, so k_actual counts both.)"""
+    loader drops nothing, so k_actual counts both.) ``spatial=True``
+    stripes the frame-height axis over the model mesh axis (SP) in the
+    staged transfer — see MeshContext.put_megabatch."""
     import numpy as np
 
     from ..data.streaming import Prefetcher
@@ -446,7 +449,7 @@ def _megafeed(loader, mesh, batch_size, k: int, depth=2):
             ys.append(yp)
             ms.append(m)
         staged = mesh.put_megabatch(
-            np.stack(xs), np.stack(ys), np.stack(ms))
+            np.stack(xs), np.stack(ys), np.stack(ms), spatial=spatial)
         return len(buf), staged
 
     return Prefetcher(grouped(), depth=depth, transfer=prepare)
@@ -511,9 +514,8 @@ def train_single_epoch(
     if megastep_fn is not None and megastep_k > 1:
         import jax.numpy as jnp
 
-        assert not spatial, "megastep is not combinable with spatial"
         for k, (xs, ys, ms) in _megafeed(
-            dataloader, mesh, batch_size, megastep_k
+            dataloader, mesh, batch_size, megastep_k, spatial=spatial
         ):
             rngs = jnp.stack([rng_keys.next() for _ in range(k)])
             with step_cm():

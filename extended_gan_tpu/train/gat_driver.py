@@ -112,7 +112,8 @@ def train_single_epoch(
             train_it = itertools.islice(
                 train_it, max(max_batches - start_batch, 0))
         for consumed, n_samples, k, staged in gat_megafeed(
-            train_it, mesh, megastep_k, batch_size=train_batch_size
+            train_it, mesh, megastep_k, batch_size=train_batch_size,
+            spatial=spatial
         ):
             xs, ys, ms = staged
             rngs = jnp.stack([keys.next() for _ in range(k)])
@@ -309,9 +310,6 @@ def train(
     eval_step = make_gat_eval_step(model)
     megastep_fn = None
     if megastep > 1:
-        if spatial:
-            raise ValueError("--megastep is not combinable with --spatial "
-                             "(put_megabatch shards the batch axis only)")
         from .gat_trainer import make_gat_megastep
 
         megastep_fn = make_gat_megastep(model, tx, remat=remat,

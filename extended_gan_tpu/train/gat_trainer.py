@@ -219,7 +219,8 @@ def gat_feed(loader, mesh, *, spatial=False, batch_size=None, depth=2):
     return Prefetcher(iter(loader), depth=depth, transfer=prepare)
 
 
-def gat_megafeed(loader, mesh, k: int, *, batch_size=None, depth=2):
+def gat_megafeed(loader, mesh, k: int, *, batch_size=None, depth=2,
+                 spatial: bool = False):
     """Stage K loader batches into one (K, B, ...) megabatch per yield.
 
     Feeds :func:`make_gat_megastep`: K reference steps execute as ONE XLA
@@ -231,8 +232,8 @@ def gat_megafeed(loader, mesh, k: int, *, batch_size=None, depth=2):
     ``consumed`` counts loader batches drawn (including dropped ones —
     the loader-cursor unit mid-epoch resume uses); the epoch tail yields
     a final shorter group (k_actual < k -> one extra XLA specialization).
-    Not combinable with spatial partitioning (put_megabatch shards the
-    batch axis only).
+    ``spatial=True`` stripes the frame-height axis of the staged
+    megabatch over the model mesh axis (SP), composing the two modes.
     """
 
     def grouped():
@@ -264,7 +265,7 @@ def gat_megafeed(loader, mesh, k: int, *, batch_size=None, depth=2):
             ys.append(yp)
             ms.append(m)
         staged = mesh.put_megabatch(
-            np.stack(xs), np.stack(ys), np.stack(ms))
+            np.stack(xs), np.stack(ys), np.stack(ms), spatial=spatial)
         return consumed, n_samples, len(buf), staged
 
     from ..data.streaming import Prefetcher

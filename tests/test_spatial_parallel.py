@@ -69,6 +69,59 @@ def test_spatial_put_rejects_indivisible_height():
         mesh.put_batch_spatial(x)
 
 
+def test_spatial_megabatch_put_shards_height_axis():
+    """put_megabatch(spatial=True): (K, B, H, ...) -> steps replicated,
+    batch over DP, frame height over the model axis; (K, B) masks over
+    DP only."""
+    mesh = MeshContext.create(data=2, model=4)
+    xs = np.zeros((3, 4, 64, 64, 4), np.float32)
+    ms = np.ones((3, 4), np.float32)
+    xd, md = mesh.put_megabatch(xs, ms, spatial=True)
+    P = jax.sharding.PartitionSpec
+    assert xd.sharding.spec == P(None, "data", "model")
+    assert md.sharding.spec == P(None, "data")
+    assert xd.addressable_shards[0].data.shape == (3, 2, 16, 64, 4)
+    with pytest.raises(ValueError, match="not divisible"):
+        mesh.put_megabatch(np.zeros((3, 4, 30, 30, 4), np.float32),
+                           spatial=True)
+
+
+@pytest.mark.slow
+def test_sp_megastep_matches_single_device():
+    """megastep(K) under DP2 x SP4 == megastep(K) on a single device —
+    the two modes compose (the staged megabatch stripes the frame axis,
+    GSPMD inserts the halo exchanges inside the scanned program)."""
+    from extended_gan_tpu.train.dcgan_trainer import make_dcgan_megastep
+
+    K = 2
+    rng = np.random.RandomState(11)
+    xs = rng.rand(K, 8, 64, 64, 4).astype(np.float32)
+    ys = rng.rand(K, 8, 64, 64, 4).astype(np.float32)
+    masks = np.ones((K, 8), np.float32)
+    rngs = np.stack([np.asarray(jax.random.PRNGKey(i)) for i in range(K)])
+
+    def run(mesh, spatial):
+        models, txs, states, _ = build_dcgan(PARAMS, seed=7)
+        states = mesh.put_replicated(states)
+        mega = make_dcgan_megastep(*models, *txs)
+        xsd, ysd, msd = mesh.put_megabatch(xs, ys, masks, spatial=spatial)
+        return mega(states, xsd, ysd, msd, rngs)
+
+    states1, logs1 = run(MeshContext.create(data=1), spatial=False)
+    states_sp, logs_sp = run(MeshContext.create(data=2, model=4),
+                             spatial=True)
+
+    for k in ("errFD", "errTD", "errG"):
+        np.testing.assert_allclose(
+            float(logs1[k]), float(logs_sp[k]), rtol=1e-4, atol=1e-5)
+    # K Adam steps: a near-zero-gradient coordinate resolves halo-exchange
+    # reassociation noise to a sign and moves ~lr per step -> K*2*lr budget
+    for a, b in zip(jax.tree_util.tree_leaves(states1.g.params),
+                    jax.tree_util.tree_leaves(states_sp.g.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=K * 2 * 2e-4)
+
+
 @pytest.mark.slow
 def test_dcgan_driver_spatial_end_to_end(tmp_path):
     """The --spatial path trains a full (tiny) epoch with finite losses."""
