@@ -41,6 +41,13 @@ def main():
                              "into one doubled-batch fwd/bwd (fewer serial "
                              "net passes per step; BN batch statistics mix "
                              "real and fake — a documented deviation)")
+    parser.add_argument("--fused-prop", action="store_true",
+                        help="FusedProp (arxiv 2004.03335): compute the "
+                             "fake G->D chain once and pull the D-fake "
+                             "and G cotangents back together in one "
+                             "batched backward. G trains against the "
+                             "PRE-update discriminators (simultaneous "
+                             "update — a documented deviation)")
     parser.add_argument("--packed-g", dest="packed_g", default=None,
                         action="store_true",
                         help="compute the generator in 2x2 space-to-depth "
@@ -84,6 +91,7 @@ def main():
         spatial=args.spatial,
         megastep=args.megastep,
         fused_disc=args.fused_disc,
+        fused_prop=args.fused_prop,
         packed_g=args.packed_g,
         profile=args.profile,
         profile_trace_dir=args.profile_trace_dir,

@@ -95,6 +95,7 @@ def train(
     spatial: bool = False,
     megastep: int = 0,
     fused_disc: bool = False,
+    fused_prop: bool = False,
     packed_g: bool | None = None,
     profile: bool = False,
     profile_trace_dir: str = "",
@@ -163,14 +164,19 @@ def train(
     if fused_disc:
         print("[fused-disc] doubled-batch discriminator passes "
               "(mixed real+fake BN statistics)")
-    step = make_dcgan_train_step(*models, *txs, fused_disc=fused_disc)
+    if fused_prop:
+        print("[fused-prop] shared fake G->D pass, 2-cotangent backward "
+              "(G trains against the PRE-update discriminators)")
+    step = make_dcgan_train_step(*models, *txs, fused_disc=fused_disc,
+                                 fused_prop=fused_prop)
     eval_step = make_dcgan_eval_step(*models)
     megastep_fn = None
     if megastep > 1:
         from .dcgan_trainer import make_dcgan_megastep
 
         megastep_fn = make_dcgan_megastep(*models, *txs,
-                                          fused_disc=fused_disc)
+                                          fused_disc=fused_disc,
+                                          fused_prop=fused_prop)
         print(f"[megastep] {megastep} steps per XLA program")
 
     profiler = None

@@ -64,18 +64,18 @@ def _tree_add(a, b):
 
 def make_dcgan_train_step(
     g_model, fd_model, td_model, g_tx, fd_tx, td_tx, *, fused_disc=False,
-    dedup_g=False,
+    dedup_g=False, fused_prop=False,
 ):
     body = _make_dcgan_step_body(
         g_model, fd_model, td_model, g_tx, fd_tx, td_tx,
-        fused_disc=fused_disc, dedup_g=dedup_g,
+        fused_disc=fused_disc, dedup_g=dedup_g, fused_prop=fused_prop,
     )
     return jax.jit(body, donate_argnums=(0,))
 
 
 def make_dcgan_megastep(
     g_model, fd_model, td_model, g_tx, fd_tx, td_tx, *, fused_disc=False,
-    dedup_g=False,
+    dedup_g=False, fused_prop=False,
 ):
     """K train steps fused into ONE XLA program via lax.scan.
 
@@ -102,7 +102,7 @@ def make_dcgan_megastep(
     """
     body = _make_dcgan_step_body(
         g_model, fd_model, td_model, g_tx, fd_tx, td_tx,
-        fused_disc=fused_disc, dedup_g=dedup_g,
+        fused_disc=fused_disc, dedup_g=dedup_g, fused_prop=fused_prop,
     )
 
     @functools.partial(jax.jit, donate_argnums=(0,))
@@ -126,7 +126,7 @@ def make_dcgan_megastep(
 
 def _make_dcgan_step_body(
     g_model, fd_model, td_model, g_tx, fd_tx, td_tx, *, fused_disc=False,
-    dedup_g=False,
+    dedup_g=False, fused_prop=False,
 ):
     """``fused_disc=True`` batches each discriminator's real and fake
     passes into ONE doubled-batch forward/backward (real rows first, fake
@@ -159,8 +159,39 @@ def _make_dcgan_step_body(
     key) forward that XLA may or may not CSE. Same math, same chain
     rule; no semantic deviation (tests/test_dedup_g.py asserts equality
     with the default body WITH BatchNorm and dropout active).
+
+    ``fused_prop=True`` implements FusedProp (arxiv 2004.03335): the fake
+    batch's D pass is computed ONCE, and ONE vmapped vjp pullback carries
+    BOTH cotangents — the D-fake loss's (bce vs 0, for D gradients) and
+    the G loss's (bce vs 1, for G gradients) — back through the shared
+    G->D chain, instead of one fwd+bwd for D-fake plus a second fwd+bwd
+    for the G chain. Per discriminator this removes one forward and
+    merges two backwards into a single 2-cotangent pass. Deliberate
+    semantic deviations from the reference order (dcgan/train.py:146-164):
+
+    - G trains against the PRE-update discriminators (simultaneous
+      gradient descent) instead of the just-stepped ones;
+    - TD's channel dropout draws one mask for the shared fake pass (the
+      reference draws a fresh mask for its separate step-5 pass);
+    - FD/TD running BN stats take two updates per step (real, fake)
+      instead of three (no separate step-5 pass exists).
+
+    The fusion itself is lossless: tests/test_fused_prop.py proves the
+    grads equal a naive two-backward implementation of the same
+    simultaneous semantics. Mutually exclusive with ``dedup_g`` and
+    ``fused_disc`` (each restructures the same passes a different way).
     """
+    if fused_prop and (dedup_g or fused_disc):
+        raise ValueError("fused_prop is mutually exclusive with "
+                         "dedup_g/fused_disc")
+
     def step(states: GANStates, x, y, mask, rng):
+        if fused_prop:
+            return _fused_prop_step(
+                states, x, y, mask, rng,
+                g_model=g_model, fd_model=fd_model, td_model=td_model,
+                g_tx=g_tx, fd_tx=fd_tx, td_tx=td_tx,
+            )
         k_g, k_td1, k_td2, k_td3 = jax.random.split(rng, 4)
         xy_real = jnp.concatenate([x, y], axis=-1)
 
@@ -341,6 +372,106 @@ def _make_dcgan_step_body(
         return GANStates(g=g_state, fd=fd_state, td=td_state), logs
 
     return step
+
+
+def _masked_rounded_match(p, label, mask):
+    m = mask.astype(jnp.float32)
+    matches = (jnp.round(p.reshape(-1)) == label).astype(jnp.float32)
+    return jnp.stack([jnp.sum(matches * m), jnp.sum(m)])
+
+
+def _fused_prop_step(states: GANStates, x, y, mask, rng, *,
+                     g_model, fd_model, td_model, g_tx, fd_tx, td_tx):
+    """FusedProp step body (see _make_dcgan_step_body docstring): the
+    fake batch's G->D chain is computed once; ONE vmapped vjp pullback
+    carries the D-fake cotangent (bce vs 0) and the G cotangent (bce vs
+    1) back through it together."""
+    k_g, k_td1, k_td2 = jax.random.split(rng, 3)
+    xy_real = jnp.concatenate([x, y], axis=-1)
+
+    # ---- D gradients on real (identical to the default body) ----------
+    def d_real_loss(fd_params, td_params):
+        p_rf, fd_bs = _apply_train_with_params(
+            fd_model, fd_params, states.fd.batch_stats, y
+        )
+        p_rt, td_bs = _apply_train_with_params(
+            td_model, td_params, states.td.batch_stats, xy_real,
+            rngs={"dropout": k_td1},
+        )
+        err_fd = bce(p_rf.reshape(-1), 1.0, mask=mask)
+        err_td = bce(p_rt.reshape(-1), 1.0, mask=mask)
+        return err_fd + err_td, (p_rf, p_rt, err_fd, err_td, fd_bs, td_bs)
+
+    (_, (p_rf, p_rt, err_fd_real, err_td_real, fd_bs1, td_bs1)), \
+        d_grads_real = jax.value_and_grad(
+            d_real_loss, argnums=(0, 1), has_aux=True)(
+            states.fd.params, states.td.params)
+
+    # ---- shared fake chain: ONE forward, ONE 2-cotangent backward -----
+    def fake_chain(g_params, fd_params, td_params):
+        fake, g_bs = _apply_train_with_params(
+            g_model, g_params, states.g.batch_stats, x,
+            rngs={"dropout": k_g},
+        )
+        p_f, fd_bs = _apply_train_with_params(
+            fd_model, fd_params, fd_bs1, fake
+        )
+        p_t, td_bs = _apply_train_with_params(
+            td_model, td_params, td_bs1,
+            jnp.concatenate([x, fake], axis=-1),
+            rngs={"dropout": k_td2},
+        )
+        return (p_f.reshape(-1), p_t.reshape(-1)), (fake, g_bs, fd_bs, td_bs)
+
+    (p_ff, p_ft), pullback, (fake, g_bs1, fd_bs2, td_bs2) = jax.vjp(
+        fake_chain, states.g.params, states.fd.params, states.td.params,
+        has_aux=True,
+    )
+
+    err_fd_fake = bce(p_ff, 0.0, mask=mask)
+    err_td_fake = bce(p_ft, 0.0, mask=mask)
+    err_g = bce(p_ff, 1.0, mask=mask) + bce(p_ft, 1.0, mask=mask)
+
+    def _ct(label):
+        return jax.grad(
+            lambda pf, pt: bce(pf, label, mask=mask)
+            + bce(pt, label, mask=mask),
+            argnums=(0, 1),
+        )(p_ff, p_ft)
+
+    ct_d, ct_g = _ct(0.0), _ct(1.0)
+    stacked_cts = (jnp.stack([ct_d[0], ct_g[0]]),
+                   jnp.stack([ct_d[1], ct_g[1]]))
+    # vmap of a linear pullback == one batched backward through G->D:
+    # row 0 carries the D-fake cotangent, row 1 the G cotangent
+    g_cts, fd_cts, td_cts = jax.vmap(pullback)(stacked_cts)
+    take = lambda tree, i: jax.tree_util.tree_map(lambda t: t[i], tree)
+    fd_grads = _tree_add(d_grads_real[0], take(fd_cts, 0))
+    td_grads = _tree_add(d_grads_real[1], take(td_cts, 0))
+    g_grads = take(g_cts, 1)
+
+    fd_state = states.fd.apply_gradients(fd_tx, fd_grads).replace(
+        batch_stats=fd_bs2)
+    td_state = states.td.apply_gradients(td_tx, td_grads).replace(
+        batch_stats=td_bs2)
+    g_state = states.g.apply_gradients(g_tx, g_grads).replace(
+        batch_stats=g_bs1)
+
+    mse_num = jnp.sum(
+        ((fake - y) ** 2) * mask.reshape((-1,) + (1,) * (y.ndim - 1))
+    )
+    mse_den = jnp.sum(mask) * jnp.float32(y[0].size)
+    logs = {
+        "errFD": err_fd_real + err_fd_fake,
+        "errTD": err_td_real + err_td_fake,
+        "errG": err_g,
+        "train_mse_nd": jnp.stack([mse_num, mse_den]),
+        "fd_acc_nd": _masked_rounded_match(p_rf, 1.0, mask)
+        + _masked_rounded_match(p_ff, 0.0, mask),
+        "td_acc_nd": _masked_rounded_match(p_rt, 1.0, mask)
+        + _masked_rounded_match(p_ft, 0.0, mask),
+    }
+    return GANStates(g=g_state, fd=fd_state, td=td_state), logs
 
 
 def make_dcgan_eval_step(g_model, fd_model, td_model):

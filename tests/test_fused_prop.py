@@ -1,0 +1,215 @@
+"""FusedProp (arxiv 2004.03335) fusion losslessness.
+
+``fused_prop=True`` computes the fake batch's G->D chain once and pulls
+BOTH cotangents (D-fake: bce vs 0; G: bce vs 1) back through it in one
+vmapped vjp. Its SEMANTICS deviate from the reference order on purpose
+(G trains against pre-update Ds — simultaneous gradient descent; one
+shared TD dropout mask; two BN updates per step instead of three), so
+the oracle here is a NAIVE implementation of those same semantics with
+two separate backwards: the fusion must match it to float-reassociation
+precision, with BatchNorm and dropout LIVE.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from extended_gan_tpu.core import KeySeq
+from extended_gan_tpu.train.adversarial import _apply_train_with_params
+from extended_gan_tpu.train.dcgan_driver import build_dcgan
+from extended_gan_tpu.train.dcgan_trainer import (
+    GANStates,
+    make_dcgan_megastep,
+    make_dcgan_train_step,
+)
+from extended_gan_tpu.train.losses import bce
+
+PARAMS = {"bsize": 8, "imsize": 64, "nc": 4, "ngf": 8, "ndf": 8,
+          "nepochs": 1, "lr": 2e-4, "beta1": 0.5, "nz": 100,
+          "save_epoch": 0}
+
+
+def _batch(b=8, seed=0):
+    rng = np.random.RandomState(seed)
+    x = rng.rand(b, 64, 64, 4).astype(np.float32)
+    y = rng.rand(b, 64, 64, 4).astype(np.float32)
+    mask = np.concatenate(
+        [np.ones(b - 2, np.float32), np.zeros(2, np.float32)])
+    return x, y, mask
+
+
+def _naive_simultaneous_step(models, txs, states, x, y, mask, rng):
+    """Two-backward implementation of fused_prop's semantics: same key
+    split, same BN-stat threading, same pre-update-D G loss — with the
+    D-fake and G gradients each computed by their own value_and_grad."""
+    g_model, fd_model, td_model = models
+    g_tx, fd_tx, td_tx = txs
+    k_g, k_td1, k_td2 = jax.random.split(rng, 3)
+    xy_real = jnp.concatenate([x, y], axis=-1)
+
+    def d_real_loss(fd_params, td_params):
+        p_rf, fd_bs = _apply_train_with_params(
+            fd_model, fd_params, states.fd.batch_stats, y)
+        p_rt, td_bs = _apply_train_with_params(
+            td_model, td_params, states.td.batch_stats, xy_real,
+            rngs={"dropout": k_td1})
+        return (bce(p_rf.reshape(-1), 1.0, mask=mask)
+                + bce(p_rt.reshape(-1), 1.0, mask=mask)), (fd_bs, td_bs)
+
+    (_, (fd_bs1, td_bs1)), d_grads_real = jax.value_and_grad(
+        d_real_loss, argnums=(0, 1), has_aux=True)(
+        states.fd.params, states.td.params)
+
+    fake, g_bs1 = _apply_train_with_params(
+        g_model, states.g.params, states.g.batch_stats, x,
+        rngs={"dropout": k_g})
+    fake_sg = jax.lax.stop_gradient(fake)
+
+    def d_fake_loss(fd_params, td_params):
+        p_ff, fd_bs = _apply_train_with_params(
+            fd_model, fd_params, fd_bs1, fake_sg)
+        p_ft, td_bs = _apply_train_with_params(
+            td_model, td_params, td_bs1,
+            jnp.concatenate([x, fake_sg], axis=-1),
+            rngs={"dropout": k_td2})
+        return (bce(p_ff.reshape(-1), 0.0, mask=mask)
+                + bce(p_ft.reshape(-1), 0.0, mask=mask)), (fd_bs, td_bs)
+
+    (_, (fd_bs2, td_bs2)), d_grads_fake = jax.value_and_grad(
+        d_fake_loss, argnums=(0, 1), has_aux=True)(
+        states.fd.params, states.td.params)
+
+    def g_loss_fn(g_params):
+        fake2, _ = _apply_train_with_params(
+            g_model, g_params, states.g.batch_stats, x,
+            rngs={"dropout": k_g})
+        p_f, _ = _apply_train_with_params(
+            fd_model, states.fd.params, fd_bs1, fake2)
+        p_t, _ = _apply_train_with_params(
+            td_model, states.td.params, td_bs1,
+            jnp.concatenate([x, fake2], axis=-1),
+            rngs={"dropout": k_td2})
+        return (bce(p_f.reshape(-1), 1.0, mask=mask)
+                + bce(p_t.reshape(-1), 1.0, mask=mask))
+
+    err_g, g_grads = jax.value_and_grad(g_loss_fn)(states.g.params)
+
+    add = lambda a, b: jax.tree_util.tree_map(jnp.add, a, b)
+    fd_state = states.fd.apply_gradients(
+        fd_tx, add(d_grads_real[0], d_grads_fake[0])).replace(
+        batch_stats=fd_bs2)
+    td_state = states.td.apply_gradients(
+        td_tx, add(d_grads_real[1], d_grads_fake[1])).replace(
+        batch_stats=td_bs2)
+    g_state = states.g.apply_gradients(g_tx, g_grads).replace(
+        batch_stats=g_bs1)
+    return GANStates(g=g_state, fd=fd_state, td=td_state), err_g
+
+
+def _run_pair(models, txs, states_a, states_b, n_steps=2, key_seed=5):
+    step = make_dcgan_train_step(*models, *txs, fused_prop=True)
+    naive = jax.jit(
+        lambda s, x, y, m, r: _naive_simultaneous_step(
+            models, txs, s, x, y, m, r))
+    x, y, mask = _batch()
+    keys = KeySeq(key_seed)
+    logs_a = err_g_b = None
+    for _ in range(n_steps):
+        k = keys.next()
+        states_a, logs_a = step(states_a, x, y, mask, k)
+        states_b, err_g_b = naive(states_b, x, y, mask, k)
+    return states_a, logs_a, states_b, err_g_b
+
+
+def test_fused_prop_matches_naive_strict_sgd():
+    """The fusion is lossless: fused_prop == two-backward naive twin of
+    the same simultaneous semantics, BN + dropout LIVE. Under SGD a
+    gradient difference shows up as ~lr * diff in the params, so the
+    tolerance can sit at float-reassociation scale (the Adam variant
+    below needs a sign-resolution budget instead)."""
+    import optax
+
+    from extended_gan_tpu.core import KeySeq as KS
+    from extended_gan_tpu.train.state import create_net_state
+    from extended_gan_tpu.models.dcgan import (
+        FrameDiscriminator, Generator, TemporalDiscriminator)
+
+    def build_sgd(seed=7):
+        g = Generator(nc=4)
+        fd = FrameDiscriminator(nc=4, ndf=8)
+        td = TemporalDiscriminator(nc=4, ndf=8)
+        txs = tuple(optax.sgd(1e-3) for _ in range(3))
+        ks = KS(seed)
+        s1 = jnp.zeros((2, 64, 64, 4), jnp.float32)
+        s2 = jnp.zeros((2, 64, 64, 8), jnp.float32)
+        states = GANStates(
+            g=create_net_state(g, txs[0], ks.next(), s1),
+            fd=create_net_state(fd, txs[1], ks.next(), s1),
+            td=create_net_state(td, txs[2], ks.next(), s2),
+        )
+        return (g, fd, td), txs, states
+
+    models, txs, states_a = build_sgd()
+    _, _, states_b = build_sgd()
+    states_a, logs_a, states_b, err_g_b = _run_pair(
+        models, txs, states_a, states_b)
+
+    np.testing.assert_allclose(float(logs_a["errG"]), float(err_g_b),
+                               rtol=1e-6, atol=1e-7)
+    for a, b in zip(jax.tree_util.tree_leaves(states_a),
+                    jax.tree_util.tree_leaves(states_b)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-6)
+
+
+def test_fused_prop_matches_naive_adam_budget():
+    """Same comparison under the production Adam optimizers: identical
+    up to the sign-resolution budget (a near-zero-gradient coordinate
+    resolves ~1e-7 reassociation noise to a sign and moves ~lr/step)."""
+    n_steps = 2
+    models, txs, states_a, _ = build_dcgan(PARAMS)
+    _, _, states_b, _ = build_dcgan(PARAMS)
+    states_a, logs_a, states_b, err_g_b = _run_pair(
+        models, txs, states_a, states_b, n_steps=n_steps)
+
+    np.testing.assert_allclose(float(logs_a["errG"]), float(err_g_b),
+                               rtol=1e-5, atol=1e-6)
+    budget = 2 * 2e-4 * n_steps
+    for a, b in zip(jax.tree_util.tree_leaves(states_a),
+                    jax.tree_util.tree_leaves(states_b)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=budget)
+
+
+def test_fused_prop_trains_sanely():
+    """A few steps move the losses finitely (no NaN, D not frozen)."""
+    models, txs, states, _ = build_dcgan(PARAMS)
+    step = make_dcgan_train_step(*models, *txs, fused_prop=True)
+    x, y, mask = _batch(seed=3)
+    keys = KeySeq(9)
+    for _ in range(3):
+        states, logs = step(states, x, y, mask, keys.next())
+        for k in ("errFD", "errTD", "errG"):
+            assert np.isfinite(float(logs[k])), (k, logs[k])
+
+
+def test_fused_prop_megastep_runs():
+    models, txs, states, _ = build_dcgan(PARAMS)
+    mega = make_dcgan_megastep(*models, *txs, fused_prop=True)
+    K = 2
+    rng = np.random.RandomState(4)
+    xs = rng.rand(K, 8, 64, 64, 4).astype(np.float32)
+    ys = rng.rand(K, 8, 64, 64, 4).astype(np.float32)
+    ms = np.ones((K, 8), np.float32)
+    rngs = np.stack([np.asarray(jax.random.PRNGKey(i)) for i in range(K)])
+    states, logs = mega(states, xs, ys, ms, rngs)
+    assert np.isfinite(float(logs["errG"]))
+
+
+def test_fused_prop_excludes_other_modes():
+    models, txs, _, _ = build_dcgan(PARAMS)
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        make_dcgan_train_step(*models, *txs, fused_prop=True, dedup_g=True)
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        make_dcgan_train_step(*models, *txs, fused_prop=True,
+                              fused_disc=True)
