@@ -212,6 +212,7 @@ def train(
 
                 from .dcgan_trainer import _megafeed
 
+                next_log = skip  # batch index of the next periodic print
                 for k, (xs, ys, ms) in _megafeed(
                     train_it, mesh, train_batch_size, megastep,
                     spatial=spatial
@@ -221,12 +222,17 @@ def train(
                         states, logs = megastep_fn(states, xs, ys, ms, rngs)
                     pending.append(logs["train_mse_nd"])  # summed over k
                     n_done += k
-                    print(
-                        f"Loss_G: {float(logs['g_loss']):.4f}\t"
-                        f"cycle: {float(logs['cycle_loss']):.4f}\t"
-                        f"Loss_DX: {float(logs['d_x_loss']):.4f}\t"
-                        f"Loss_DY: {float(logs['d_y_loss']):.4f}"
-                    )
+                    # periodic print only: the float() fetches synchronize
+                    # a device->host round trip — the very overhead the
+                    # megastep amortizes (mirrors log_every batches)
+                    if n_done > next_log:
+                        next_log = n_done + log_every - 1
+                        print(
+                            f"Loss_G: {float(logs['g_loss']):.4f}\t"
+                            f"cycle: {float(logs['cycle_loss']):.4f}\t"
+                            f"Loss_DX: {float(logs['d_x_loss']):.4f}\t"
+                            f"Loss_DY: {float(logs['d_y_loss']):.4f}"
+                        )
                     if shutdown.requested:
                         interrupted = True
                         break

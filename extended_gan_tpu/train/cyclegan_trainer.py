@@ -20,7 +20,6 @@ D_X/D_Y on detached fakes (the standard CycleGAN ordering).
 
 from __future__ import annotations
 
-import functools
 
 import flax.struct
 import jax
@@ -65,28 +64,13 @@ def make_cyclegan_megastep(
     are summed over the K steps (exact (num, denom) sums); scalar losses
     are the LAST step's, matching a periodic console print.
     """
+    from .megastep import wrap_megastep
+
     body = _make_cyclegan_step_body(
         g_xy_model, g_yx_model, d_x_model, d_y_model,
         g_xy_tx, g_yx_tx, d_x_tx, d_y_tx, cycle_lambda=cycle_lambda,
     )
-
-    @functools.partial(jax.jit, donate_argnums=(0,))
-    def megastep(states: CycleGANStates, xs, ys, masks, rngs):
-        def scan_body(s, inp):
-            x, y, m, r = inp
-            s, logs = body(s, x, y, m, r)
-            return s, logs
-
-        states, stacked = jax.lax.scan(
-            scan_body, states, (xs, ys, masks, rngs)
-        )
-        logs = {
-            k: jnp.sum(v, axis=0) if k.endswith("_nd") else v[-1]
-            for k, v in stacked.items()
-        }
-        return states, logs
-
-    return megastep
+    return wrap_megastep(body)
 
 
 def _make_cyclegan_step_body(

@@ -25,7 +25,6 @@ transposes once to NHWC (B, H, W, T) — frames-as-channels.
 
 from __future__ import annotations
 
-import functools
 import json
 from typing import Callable
 
@@ -100,28 +99,13 @@ def make_dcgan_megastep(
     scalar losses are the LAST step's, matching what a periodic console
     print would have shown.
     """
+    from .megastep import wrap_megastep
+
     body = _make_dcgan_step_body(
         g_model, fd_model, td_model, g_tx, fd_tx, td_tx,
         fused_disc=fused_disc, dedup_g=dedup_g, fused_prop=fused_prop,
     )
-
-    @functools.partial(jax.jit, donate_argnums=(0,))
-    def megastep(states: GANStates, xs, ys, masks, rngs):
-        def scan_body(s, inp):
-            x, y, m, r = inp
-            s, logs = body(s, x, y, m, r)
-            return s, logs
-
-        states, stacked = jax.lax.scan(
-            scan_body, states, (xs, ys, masks, rngs)
-        )
-        logs = {
-            k: jnp.sum(v, axis=0) if k.endswith("_nd") else v[-1]
-            for k, v in stacked.items()
-        }
-        return states, logs
-
-    return megastep
+    return wrap_megastep(body)
 
 
 def _make_dcgan_step_body(
@@ -348,11 +332,6 @@ def _make_dcgan_step_body(
         td_state = td_state.replace(batch_stats=td_bs3)
 
         # ---- metrics (mask-exact) ----------------------------------------
-        def masked_rounded_match(p, label):
-            m = mask.astype(jnp.float32)
-            matches = (jnp.round(p.reshape(-1)) == label).astype(jnp.float32)
-            return jnp.stack([jnp.sum(matches * m), jnp.sum(m)])
-
         mse_num = jnp.sum(
             ((fake - y) ** 2)
             * mask.reshape((-1,) + (1,) * (y.ndim - 1))
@@ -364,10 +343,10 @@ def _make_dcgan_step_body(
             "errTD": err_td_real + err_td_fake,
             "errG": err_g,
             "train_mse_nd": jnp.stack([mse_num, mse_den]),
-            "fd_acc_nd": masked_rounded_match(p_rf, 1.0)
-            + masked_rounded_match(p_ff, 0.0),
-            "td_acc_nd": masked_rounded_match(p_rt, 1.0)
-            + masked_rounded_match(p_ft, 0.0),
+            "fd_acc_nd": _masked_rounded_match(p_rf, 1.0, mask)
+            + _masked_rounded_match(p_ff, 0.0, mask),
+            "td_acc_nd": _masked_rounded_match(p_rt, 1.0, mask)
+            + _masked_rounded_match(p_ft, 0.0, mask),
         }
         return GANStates(g=g_state, fd=fd_state, td=td_state), logs
 

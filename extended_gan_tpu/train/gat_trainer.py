@@ -121,24 +121,10 @@ def make_gat_megastep(model, tx, *, remat: bool = False,
     K sequential single steps fed the same rng sequence up to f32
     reduction-order (tests/test_gat_megastep.py).
     """
+    from .megastep import wrap_megastep
+
     body = _make_gat_step_body(model, tx, remat=remat, criterion=criterion)
-
-    @functools.partial(jax.jit, donate_argnums=(0,))
-    def megastep(state: NetState, xs, ys, masks, rngs):
-        def scan_body(s, inp):
-            x, y, m, r = inp
-            s, logs = body(s, x, y, m, r)
-            return s, logs
-
-        state, stacked = jax.lax.scan(
-            scan_body, state, (xs, ys, masks, rngs))
-        logs = {
-            k: jnp.sum(v, axis=0) if k.endswith("_nd") else v[-1]
-            for k, v in stacked.items()
-        }
-        return state, logs
-
-    return megastep
+    return wrap_megastep(body)
 
 
 def make_gat_eval_step(model):
