@@ -206,6 +206,23 @@ def test_fused_prop_megastep_runs():
     assert np.isfinite(float(logs["errG"]))
 
 
+def test_fused_prop_composes_with_packed_g():
+    """Model-layout mode (packed_g) and step-body mode (fused_prop) are
+    orthogonal; together they run and match the unpacked fused_prop step
+    within the packed layout's reassociation scale."""
+    models_u, txs, states_u, _ = build_dcgan(PARAMS)
+    models_p, _, states_p, _ = build_dcgan(PARAMS, packed_g=True)
+    step_u = make_dcgan_train_step(*models_u, *txs, fused_prop=True)
+    step_p = make_dcgan_train_step(*models_p, *txs, fused_prop=True)
+    x, y, mask = _batch(seed=6)
+    k = jax.random.PRNGKey(12)
+    states_u, logs_u = step_u(states_u, x, y, mask, k)
+    states_p, logs_p = step_p(states_p, x, y, mask, k)
+    for key in ("errFD", "errTD", "errG"):
+        np.testing.assert_allclose(float(logs_u[key]), float(logs_p[key]),
+                                   rtol=1e-4, atol=1e-6)
+
+
 def test_fused_prop_excludes_other_modes():
     models, txs, _, _ = build_dcgan(PARAMS)
     with pytest.raises(ValueError, match="mutually exclusive"):
