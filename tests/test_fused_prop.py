@@ -223,6 +223,32 @@ def test_fused_prop_composes_with_packed_g():
                                    rtol=1e-4, atol=1e-6)
 
 
+@pytest.mark.slow
+def test_fused_prop_shrinks_compiled_program():
+    """Hardware-independent structural evidence: the OPTIMIZED HLO of the
+    fused_prop step contains strictly fewer convolution ops than the
+    default body's (measured 68 vs 86 on the CPU backend), while
+    dedup_g's count EQUALS the default's — the compiled-program proof
+    that XLA CSEs dedup's recomputed G forward but cannot merge the
+    default body's two differently-cotangented backwards."""
+    x = jnp.zeros((8, 64, 64, 4))
+    y = jnp.zeros((8, 64, 64, 4))
+    m = jnp.ones((8,))
+    k = jax.random.PRNGKey(0)
+
+    def conv_count(**kw):
+        models, txs, states, _ = build_dcgan(PARAMS)
+        step = make_dcgan_train_step(*models, *txs, **kw)
+        txt = step.lower(states, x, y, m, k).compile().as_text()
+        return txt.count(" convolution(")
+
+    n_default = conv_count()
+    n_dedup = conv_count(dedup_g=True)
+    n_fused = conv_count(fused_prop=True)
+    assert n_dedup == n_default, (n_dedup, n_default)
+    assert n_fused < n_default, (n_fused, n_default)
+
+
 def test_fused_prop_excludes_other_modes():
     models, txs, _, _ = build_dcgan(PARAMS)
     with pytest.raises(ValueError, match="mutually exclusive"):
