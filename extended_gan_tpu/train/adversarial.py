@@ -57,11 +57,22 @@ def apply_eval(model, state: NetState, *args, **kwargs):
     return model.apply(variables, *args, train=False, **kwargs)
 
 
-def make_vanilla_gan_step(g_model, d_model, g_tx, d_tx, *, latent_dim: int):
+def make_vanilla_gan_step(g_model, d_model, g_tx, d_tx, *, latent_dim: int,
+                          fused_prop: bool = False):
     """One fused G+D update for the vanilla GAN.
 
     Returns step(g_state, d_state, real_imgs, rng) ->
     (g_state, d_state, {g_loss, d_loss}).
+
+    ``fused_prop=True`` (FusedProp, arxiv 2004.03335) computes the fake
+    batch's G->D chain once and pulls the G cotangent (bce vs 1) and the
+    D-fake cotangent (bce vs 0, over 2) back through it in ONE vmapped
+    backward. Unlike the dcgan variant this carries NO semantic
+    deviation: the reference updates G first (vanilla_gan.py:163-174),
+    so both losses already evaluate the SAME pre-update D at the same
+    fake batch, and the vanilla D is stateless (no BN/dropout) — the
+    fused and default bodies are the same math reassociated
+    (tests/test_vanilla_fused_prop.py).
     """
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
@@ -69,6 +80,47 @@ def make_vanilla_gan_step(g_model, d_model, g_tx, d_tx, *, latent_dim: int):
         b = real_imgs.shape[0]
         rng_z, rng_gdrop = jax.random.split(rng)
         z = jax.random.normal(rng_z, (b, latent_dim), jnp.float32)
+
+        if fused_prop:
+            # ---- shared fake chain: one forward, one 2-cotangent bwd --
+            def fake_chain(g_params, d_params):
+                gen, new_gbs = _apply_train_with_params(
+                    g_model, g_params, g_state.batch_stats, z,
+                    rngs={"dropout": rng_gdrop},
+                )
+                p = _apply_train_with_params(
+                    d_model, d_params, d_state.batch_stats, gen
+                )[0]
+                return p, (gen, new_gbs)
+
+            p_fake, pullback, (gen_imgs, new_gbs) = jax.vjp(
+                fake_chain, g_state.params, d_state.params, has_aux=True
+            )
+            g_loss = bce(p_fake, 1.0)
+            ct_g = jax.grad(lambda p: bce(p, 1.0))(p_fake)
+            ct_d = jax.grad(lambda p: bce(p, 0.0) / 2.0)(p_fake)
+            g_cts, d_cts = jax.vmap(pullback)(jnp.stack([ct_g, ct_d]))
+            take = lambda tree, i: jax.tree_util.tree_map(
+                lambda t: t[i], tree)
+            g_grads = take(g_cts, 0)
+            d_grads_fake = take(d_cts, 1)
+            g_state = g_state.apply_gradients(g_tx, g_grads).replace(
+                batch_stats=new_gbs
+            )
+
+            def d_real_loss(d_params):
+                p_real = _apply_train_with_params(
+                    d_model, d_params, d_state.batch_stats, real_imgs
+                )[0]
+                return bce(p_real, 1.0) / 2.0
+
+            d_real, d_grads_real = jax.value_and_grad(d_real_loss)(
+                d_state.params)
+            d_loss = d_real + bce(p_fake, 0.0) / 2.0
+            d_grads = jax.tree_util.tree_map(
+                jnp.add, d_grads_real, d_grads_fake)
+            d_state = d_state.apply_gradients(d_tx, d_grads)
+            return g_state, d_state, {"g_loss": g_loss, "d_loss": d_loss}
 
         # ---- generator update (against current D), reference :163-174 ----
         def g_loss_fn(g_params):

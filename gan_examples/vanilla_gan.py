@@ -43,6 +43,11 @@ def parse_args(argv=None):
     parser.add_argument("--precision", choices=("f32", "bf16"), default="f32")
     parser.add_argument("--max_batches", type=int, default=0,
                         help="stop after this many batches (0 = full run)")
+    parser.add_argument("--fused_prop", action="store_true",
+                        help="FusedProp: one shared fake G->D pass, one "
+                             "2-cotangent backward (exact here — the "
+                             "vanilla order already evaluates both losses "
+                             "at the same pre-update D)")
     parser.add_argument("--log_every", type=int, default=1,
                         help="print losses every N batches (each print "
                              "synchronizes with the device; raise this on "
@@ -120,7 +125,8 @@ def main(argv=None):
     d_state = mesh.put_replicated(d_state)
 
     step = make_vanilla_gan_step(
-        g_model, d_model, g_tx, d_tx, latent_dim=opt.latent_dim)
+        g_model, d_model, g_tx, d_tx, latent_dim=opt.latent_dim,
+        fused_prop=opt.fused_prop)
     sample = make_sampler(g_model)
     fixed_z = jax.random.normal(keys.next(), (25, opt.latent_dim))
 
