@@ -162,12 +162,15 @@ def _make_dcgan_step_body(
 
     The fusion itself is lossless: tests/test_fused_prop.py proves the
     grads equal a naive two-backward implementation of the same
-    simultaneous semantics. Mutually exclusive with ``dedup_g`` and
-    ``fused_disc`` (each restructures the same passes a different way).
+    simultaneous semantics. Mutually exclusive with ``dedup_g`` (which
+    restructures the same passes a different way); COMPOSES with
+    ``fused_disc`` into the minimal chain — ONE doubled-batch (real+fake)
+    forward and ONE 2-cotangent doubled-batch backward per discriminator
+    (deviations are the union of both modes': mixed-2B BN statistics, one
+    dropout mask, pre-update-D G gradients).
     """
-    if fused_prop and (dedup_g or fused_disc):
-        raise ValueError("fused_prop is mutually exclusive with "
-                         "dedup_g/fused_disc")
+    if fused_prop and dedup_g:
+        raise ValueError("fused_prop is mutually exclusive with dedup_g")
 
     def step(states: GANStates, x, y, mask, rng):
         if fused_prop:
@@ -175,6 +178,7 @@ def _make_dcgan_step_body(
                 states, x, y, mask, rng,
                 g_model=g_model, fd_model=fd_model, td_model=td_model,
                 g_tx=g_tx, fd_tx=fd_tx, td_tx=td_tx,
+                fused_disc=fused_disc,
             )
         k_g, k_td1, k_td2, k_td3 = jax.random.split(rng, 4)
         xy_real = jnp.concatenate([x, y], axis=-1)
@@ -360,11 +364,20 @@ def _masked_rounded_match(p, label, mask):
 
 
 def _fused_prop_step(states: GANStates, x, y, mask, rng, *,
-                     g_model, fd_model, td_model, g_tx, fd_tx, td_tx):
+                     g_model, fd_model, td_model, g_tx, fd_tx, td_tx,
+                     fused_disc=False):
     """FusedProp step body (see _make_dcgan_step_body docstring): the
     fake batch's G->D chain is computed once; ONE vmapped vjp pullback
     carries the D-fake cotangent (bce vs 0) and the G cotangent (bce vs
-    1) back through it together."""
+    1) back through it together. With ``fused_disc=True`` the real rows
+    join that same chain (doubled-batch D passes), reaching the minimal
+    chain: one 2B forward + one 2-cotangent 2B backward per D."""
+    if fused_disc:
+        return _fused_prop_disc_step(
+            states, x, y, mask, rng,
+            g_model=g_model, fd_model=fd_model, td_model=td_model,
+            g_tx=g_tx, fd_tx=fd_tx, td_tx=td_tx,
+        )
     k_g, k_td1, k_td2 = jax.random.split(rng, 3)
     xy_real = jnp.concatenate([x, y], axis=-1)
 
@@ -427,6 +440,94 @@ def _fused_prop_step(states: GANStates, x, y, mask, rng, *,
     take = lambda tree, i: jax.tree_util.tree_map(lambda t: t[i], tree)
     fd_grads = _tree_add(d_grads_real[0], take(fd_cts, 0))
     td_grads = _tree_add(d_grads_real[1], take(td_cts, 0))
+    g_grads = take(g_cts, 1)
+
+    fd_state = states.fd.apply_gradients(fd_tx, fd_grads).replace(
+        batch_stats=fd_bs2)
+    td_state = states.td.apply_gradients(td_tx, td_grads).replace(
+        batch_stats=td_bs2)
+    g_state = states.g.apply_gradients(g_tx, g_grads).replace(
+        batch_stats=g_bs1)
+
+    mse_num = jnp.sum(
+        ((fake - y) ** 2) * mask.reshape((-1,) + (1,) * (y.ndim - 1))
+    )
+    mse_den = jnp.sum(mask) * jnp.float32(y[0].size)
+    logs = {
+        "errFD": err_fd_real + err_fd_fake,
+        "errTD": err_td_real + err_td_fake,
+        "errG": err_g,
+        "train_mse_nd": jnp.stack([mse_num, mse_den]),
+        "fd_acc_nd": _masked_rounded_match(p_rf, 1.0, mask)
+        + _masked_rounded_match(p_ff, 0.0, mask),
+        "td_acc_nd": _masked_rounded_match(p_rt, 1.0, mask)
+        + _masked_rounded_match(p_ft, 0.0, mask),
+    }
+    return GANStates(g=g_state, fd=fd_state, td=td_state), logs
+
+
+def _fused_prop_disc_step(states: GANStates, x, y, mask, rng, *,
+                          g_model, fd_model, td_model, g_tx, fd_tx, td_tx):
+    """fused_prop x fused_disc: the minimal dcgan chain. Real and fake
+    rows share ONE doubled-batch pass per discriminator, and ONE vmapped
+    2-cotangent backward yields the full D gradients (real-vs-1 +
+    fake-vs-0 rows) and the G gradients (fake rows vs 1) together.
+    Deviations = the union of both modes' (mixed-2B BN statistics, one
+    TD dropout mask, pre-update-D G gradients)."""
+    k_g, k_td1 = jax.random.split(rng, 2)
+    b = y.shape[0]
+
+    def chain(g_params, fd_params, td_params):
+        fake, g_bs = _apply_train_with_params(
+            g_model, g_params, states.g.batch_stats, x,
+            rngs={"dropout": k_g},
+        )
+        y_all = jnp.concatenate([y, fake], axis=0)
+        xy_all = jnp.concatenate(
+            [jnp.concatenate([x, y], axis=-1),
+             jnp.concatenate([x, fake], axis=-1)], axis=0
+        )
+        p_f_all, fd_bs = _apply_train_with_params(
+            fd_model, fd_params, states.fd.batch_stats, y_all
+        )
+        p_t_all, td_bs = _apply_train_with_params(
+            td_model, td_params, states.td.batch_stats, xy_all,
+            rngs={"dropout": k_td1},
+        )
+        return ((p_f_all.reshape(-1), p_t_all.reshape(-1)),
+                (fake, g_bs, fd_bs, td_bs))
+
+    (p_f_all, p_t_all), pullback, (fake, g_bs1, fd_bs2, td_bs2) = jax.vjp(
+        chain, states.g.params, states.fd.params, states.td.params,
+        has_aux=True,
+    )
+    p_rf, p_ff = p_f_all[:b], p_f_all[b:]
+    p_rt, p_ft = p_t_all[:b], p_t_all[b:]
+
+    err_fd_real = bce(p_rf, 1.0, mask=mask)
+    err_td_real = bce(p_rt, 1.0, mask=mask)
+    err_fd_fake = bce(p_ff, 0.0, mask=mask)
+    err_td_fake = bce(p_ft, 0.0, mask=mask)
+    err_g = bce(p_ff, 1.0, mask=mask) + bce(p_ft, 1.0, mask=mask)
+
+    def _d_losses(pf_all, pt_all):
+        return (bce(pf_all[:b], 1.0, mask=mask)
+                + bce(pf_all[b:], 0.0, mask=mask)
+                + bce(pt_all[:b], 1.0, mask=mask)
+                + bce(pt_all[b:], 0.0, mask=mask))
+
+    def _g_losses(pf_all, pt_all):
+        return (bce(pf_all[b:], 1.0, mask=mask)
+                + bce(pt_all[b:], 1.0, mask=mask))
+
+    ct_d = jax.grad(_d_losses, argnums=(0, 1))(p_f_all, p_t_all)
+    ct_g = jax.grad(_g_losses, argnums=(0, 1))(p_f_all, p_t_all)
+    stacked_cts = (jnp.stack([ct_d[0], ct_g[0]]),
+                   jnp.stack([ct_d[1], ct_g[1]]))
+    g_cts, fd_cts, td_cts = jax.vmap(pullback)(stacked_cts)
+    take = lambda tree, i: jax.tree_util.tree_map(lambda t: t[i], tree)
+    fd_grads = take(fd_cts, 0)
+    td_grads = take(td_cts, 0)
     g_grads = take(g_cts, 1)
 
     fd_state = states.fd.apply_gradients(fd_tx, fd_grads).replace(

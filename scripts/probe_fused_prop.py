@@ -36,10 +36,13 @@ def main():
           f"backend={jax.default_backend()}", flush=True)
 
     results = {}
-    for fused_prop in (False, True):
+    # (fused_prop, fused_disc): default, FusedProp alone, minimal chain
+    for mode in ((False, False), (True, False), (True, True)):
+        fused_prop, fused_disc = mode
         models, txs, states, keys = build_dcgan(
             dict(DEFAULT_PARAMS), precision=precision, seed=0)
-        mega = make_dcgan_megastep(*models, *txs, fused_prop=fused_prop)
+        mega = make_dcgan_megastep(*models, *txs, fused_prop=fused_prop,
+                                   fused_disc=fused_disc)
 
         per_k = {}
         for K in (16, 64):
@@ -59,15 +62,16 @@ def main():
                 float(jax.device_get(logs["errG"].ravel()[-1]))
                 best = min(best, time.perf_counter() - t0)
             per_k[K] = best
-            print(f"  fused_prop={fused_prop} K={K}: {best*1e3:8.2f} ms "
+            print(f"  mode={mode} K={K}: {best*1e3:8.2f} ms "
                   f"({best/K*1e3:6.3f} ms/step raw)", flush=True)
         slope = (per_k[64] - per_k[16]) / 48.0
-        results[fused_prop] = slope
-        print(f"  fused_prop={fused_prop}: device {slope*1e3:.3f} ms/step "
+        results[mode] = slope
+        print(f"  mode={mode}: device {slope*1e3:.3f} ms/step "
               f"({1.0/slope:.1f} steps/s)", flush=True)
 
-    print(f"speedup (default/fused_prop): "
-          f"{results[False]/results[True]:.2f}x")
+    base = results[(False, False)]
+    print(f"speedup fused_prop alone: {base/results[(True, False)]:.2f}x; "
+          f"minimal chain (x fused_disc): {base/results[(True, True)]:.2f}x")
 
 
 if __name__ == "__main__":

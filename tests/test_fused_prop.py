@@ -206,6 +206,103 @@ def test_fused_prop_megastep_runs():
     assert np.isfinite(float(logs["errG"]))
 
 
+def _naive_disc_simultaneous_step(models, txs, states, x, y, mask, rng):
+    """Two-backward twin of fused_prop x fused_disc: the SAME doubled-
+    batch chain (same key split, mixed-2B BN stats, one TD dropout mask),
+    with D and G gradients each from their own value_and_grad."""
+    g_model, fd_model, td_model = models
+    g_tx, fd_tx, td_tx = txs
+    k_g, k_td1 = jax.random.split(rng, 2)
+    b = y.shape[0]
+
+    def chain(g_params, fd_params, td_params):
+        fake, g_bs = _apply_train_with_params(
+            g_model, g_params, states.g.batch_stats, x,
+            rngs={"dropout": k_g})
+        y_all = jnp.concatenate([y, fake], axis=0)
+        xy_all = jnp.concatenate(
+            [jnp.concatenate([x, y], axis=-1),
+             jnp.concatenate([x, fake], axis=-1)], axis=0)
+        p_f_all, fd_bs = _apply_train_with_params(
+            fd_model, fd_params, states.fd.batch_stats, y_all)
+        p_t_all, td_bs = _apply_train_with_params(
+            td_model, td_params, states.td.batch_stats, xy_all,
+            rngs={"dropout": k_td1})
+        return (p_f_all.reshape(-1), p_t_all.reshape(-1),
+                fake, g_bs, fd_bs, td_bs)
+
+    def d_loss(fd_params, td_params):
+        pf, pt, fake, g_bs, fd_bs, td_bs = chain(
+            states.g.params, fd_params, td_params)
+        loss = (bce(pf[:b], 1.0, mask=mask) + bce(pf[b:], 0.0, mask=mask)
+                + bce(pt[:b], 1.0, mask=mask) + bce(pt[b:], 0.0, mask=mask))
+        return loss, (fake, g_bs, fd_bs, td_bs)
+
+    (_, (fake, g_bs1, fd_bs2, td_bs2)), (fd_grads, td_grads) = (
+        jax.value_and_grad(d_loss, argnums=(0, 1), has_aux=True)(
+            states.fd.params, states.td.params))
+
+    def g_loss(g_params):
+        pf, pt, *_ = chain(g_params, states.fd.params, states.td.params)
+        return (bce(pf[b:], 1.0, mask=mask) + bce(pt[b:], 1.0, mask=mask))
+
+    err_g, g_grads = jax.value_and_grad(g_loss)(states.g.params)
+
+    fd_state = states.fd.apply_gradients(fd_tx, fd_grads).replace(
+        batch_stats=fd_bs2)
+    td_state = states.td.apply_gradients(td_tx, td_grads).replace(
+        batch_stats=td_bs2)
+    g_state = states.g.apply_gradients(g_tx, g_grads).replace(
+        batch_stats=g_bs1)
+    return GANStates(g=g_state, fd=fd_state, td=td_state), err_g
+
+
+def test_fused_prop_disc_matches_naive_strict_sgd():
+    """fused_prop x fused_disc (the minimal chain) == its two-backward
+    naive twin at reassociation scale under SGD, BN + dropout live."""
+    import optax
+
+    from extended_gan_tpu.models.dcgan import (
+        FrameDiscriminator, Generator, TemporalDiscriminator)
+    from extended_gan_tpu.train.state import create_net_state
+
+    def build_sgd(seed=7):
+        g = Generator(nc=4)
+        fd = FrameDiscriminator(nc=4, ndf=8)
+        td = TemporalDiscriminator(nc=4, ndf=8)
+        txs = tuple(optax.sgd(1e-3) for _ in range(3))
+        ks = KeySeq(seed)
+        s1 = jnp.zeros((2, 64, 64, 4), jnp.float32)
+        s2 = jnp.zeros((2, 64, 64, 8), jnp.float32)
+        states = GANStates(
+            g=create_net_state(g, txs[0], ks.next(), s1),
+            fd=create_net_state(fd, txs[1], ks.next(), s1),
+            td=create_net_state(td, txs[2], ks.next(), s2),
+        )
+        return (g, fd, td), txs, states
+
+    models, txs, states_a = build_sgd()
+    _, _, states_b = build_sgd()
+    step = make_dcgan_train_step(*models, *txs, fused_prop=True,
+                                 fused_disc=True)
+    naive = jax.jit(lambda s, x, y, m, r: _naive_disc_simultaneous_step(
+        models, txs, s, x, y, m, r))
+
+    x, y, mask = _batch()
+    keys = KeySeq(5)
+    logs_a = err_g_b = None
+    for _ in range(2):
+        k = keys.next()
+        states_a, logs_a = step(states_a, x, y, mask, k)
+        states_b, err_g_b = naive(states_b, x, y, mask, k)
+
+    np.testing.assert_allclose(float(logs_a["errG"]), float(err_g_b),
+                               rtol=1e-6, atol=1e-7)
+    for a, b in zip(jax.tree_util.tree_leaves(states_a),
+                    jax.tree_util.tree_leaves(states_b)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-6)
+
+
 def test_fused_prop_composes_with_packed_g():
     """Model-layout mode (packed_g) and step-body mode (fused_prop) are
     orthogonal; together they run and match the unpacked fused_prop step
@@ -245,14 +342,15 @@ def test_fused_prop_shrinks_compiled_program():
     n_default = conv_count()
     n_dedup = conv_count(dedup_g=True)
     n_fused = conv_count(fused_prop=True)
+    n_minimal = conv_count(fused_prop=True, fused_disc=True)
     assert n_dedup == n_default, (n_dedup, n_default)
     assert n_fused < n_default, (n_fused, n_default)
+    # the composed minimal chain (measured 42 vs 86) cuts past either
+    # mode alone
+    assert n_minimal < n_fused, (n_minimal, n_fused)
 
 
-def test_fused_prop_excludes_other_modes():
+def test_fused_prop_excludes_dedup_g():
     models, txs, _, _ = build_dcgan(PARAMS)
     with pytest.raises(ValueError, match="mutually exclusive"):
         make_dcgan_train_step(*models, *txs, fused_prop=True, dedup_g=True)
-    with pytest.raises(ValueError, match="mutually exclusive"):
-        make_dcgan_train_step(*models, *txs, fused_prop=True,
-                              fused_disc=True)
