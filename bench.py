@@ -325,7 +325,9 @@ def _time_megastep(mega, states, margs, K, n_programs=3, trials=4,
     }
 
 
-def bench_dcgan_megastep(K=16, batch=32, precision="f32"):
+def bench_dcgan_megastep(K=16, batch=32, precision="f32", *,
+                         fused_prop=False, fused_disc=False,
+                         packed_g=False):
     import numpy as np
 
     from extended_gan_tpu.parallel import MeshContext
@@ -337,9 +339,11 @@ def bench_dcgan_megastep(K=16, batch=32, precision="f32"):
 
     mesh = MeshContext.create(data=1, model=1)
     models, txs, states, _ = build_dcgan(
-        dict(DEFAULT_PARAMS), precision=precision, seed=0)
+        dict(DEFAULT_PARAMS), precision=precision, seed=0,
+        packed_g=packed_g)
     states = mesh.put_replicated(states)
-    mega = make_dcgan_megastep(*models, *txs)
+    mega = make_dcgan_megastep(*models, *txs, fused_prop=fused_prop,
+                               fused_disc=fused_disc)
     rng = np.random.RandomState(0)
     xs = rng.rand(K, batch, 64, 64, 4).astype(np.float32)
     ys = rng.rand(K, batch, 64, 64, 4).astype(np.float32)
@@ -486,6 +490,31 @@ def main():
             print(f"grid {name} bf16 b{b}: {st['median'] * b:.0f} "
                   f"samples/s", file=sys.stderr)
 
+    # dcgan step-body ablations: K-fit device slope per body (the
+    # opt-in modes' on-chip record — BENCH_NOTES "fused_prop"/"packed_g";
+    # skippable with EGT_BENCH_ABLATIONS=0 if the round's budget is tight)
+    ablations = {}
+    if os.environ.get("EGT_BENCH_ABLATIONS", "1") != "0":
+        flops = base["dcgan"]["flops_per_step_b32"]
+        for label, kw in (
+            ("fused_prop", {"fused_prop": True}),
+            ("minimal_chain", {"fused_prop": True, "fused_disc": True}),
+            ("packed_g", {"packed_g": True}),
+        ):
+            try:
+                a8 = bench_dcgan_megastep(K=8, **kw)
+                a16 = bench_dcgan_megastep(K=16, **kw)
+                ablations[label] = {
+                    "megastep_k16_true_sps": round(a16["median"], 1),
+                    **_decompose_k(8e3 / a8["median"],
+                                   16e3 / a16["median"], flops),
+                }
+                print(f"ablation {label}: "
+                      f"{ablations[label].get('device_ms_per_step')} "
+                      f"ms/step device", file=sys.stderr)
+            except Exception as e:  # never lose the primary metric
+                ablations[label] = {"error": f"{type(e).__name__}: {e}"}
+
     # real disk-backed input pipeline vs the device-resident ceiling
     pipeline = {}
     try:
@@ -514,6 +543,7 @@ def main():
             "dcgan": results["dcgan"],
             "conv_gat": results["conv_gat"],
             "samples_per_sec": grid,
+            "dcgan_step_body_ablations": ablations,
             "pipeline_fed": pipeline,
             "baselines": {
                 "dcgan_v100_central_sps": base["dcgan"]["central_sps"],
