@@ -350,6 +350,25 @@ def test_fused_prop_shrinks_compiled_program():
     assert n_minimal < n_fused, (n_minimal, n_fused)
 
 
+@pytest.mark.slow
+def test_full_mode_stack_driver(tmp_path):
+    """DP8 x megastep x fused_prop x fused_disc x packed_g in one run —
+    the whole opt-in stack composes through the real driver."""
+    import numpy as np
+
+    from extended_gan_tpu.train.dcgan_driver import train
+
+    _, hist = train(
+        epochs=1, train_batch_size=8, test_batch_size=8, max_batches=4,
+        synthetic=True, seed=31, out_dir=str(tmp_path / "run"),
+        data_axis=8, megastep=2, fused_prop=True, fused_disc=True,
+        packed_g=True,
+        params={"ngf": 8, "ndf": 8, "save_epoch": 0},
+    )
+    assert np.isfinite(hist.history["train_mse"][-1])
+    assert np.isfinite(hist.history["pred_mse"][-1])
+
+
 def test_fused_prop_excludes_dedup_g():
     models, txs, _, _ = build_dcgan(PARAMS)
     with pytest.raises(ValueError, match="mutually exclusive"):
