@@ -23,6 +23,13 @@ bench-pipeline:
 bench-serving-loopback:
 	python scripts/bench_serving.py --cpu
 
+# dcgan step-body ablation K-fits on the chip (FusedProp / minimal chain /
+# packed generator) — the same numbers bench.py records each round under
+# extras.dcgan_step_body_ablations
+probe-ablations:
+	python scripts/probe_fused_prop.py f32 32
+	python scripts/probe_packed_g.py f32 32
+
 # refresh BASELINE_DERIVATION.json (derived V100 denominators for bench.py)
 derive-baseline:
 	python scripts/derive_v100_baseline.py --write
