@@ -502,8 +502,10 @@ def main():
                       "misses the native MXU lowering",
         "minimal_chain": "0.27x (8.692 ms/step device)",
         "packed_g": "NEUTRAL in fused step: 0.97x (1.864 vs 1.805 "
-                    "ms/step device) — repack overhead cancels the "
-                    "per-conv 1.3x; right layout for G-only serving",
+                    "ms/step device); LOSES in G-only serving too "
+                    "(0.88x f32 b32, 0.92x bf16 b32, 0.26x f32 b128 — "
+                    "probe_packed_serving.py). No recommended use case; "
+                    "stays an exactness-proven opt-in layout",
         "measured": "2026-08-18 probe_fused_prop.py/probe_packed_g.py, "
                     "two-K fit K=16/64, f32 b32",
     }}

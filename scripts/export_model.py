@@ -81,8 +81,12 @@ def _export_dcgan(args):
         # template widths must MATCH the checkpoint's training widths or
         # the Orbax restore fails on tree-structure mismatch
         params["ngf"] = params["ndf"] = args.ndf
-    # seed only shapes the template init; restore() overwrites every weight
-    models, _, states, _ = build_dcgan(params, seed=369)
+    # seed only shapes the template init; restore() overwrites every weight.
+    # packed_g changes only the COMPUTE layout (2x2 space-to-depth convs,
+    # ops/space_to_depth.py) — the param tree is identical, so any
+    # checkpoint loads into either layout.
+    models, _, states, _ = build_dcgan(params, seed=369,
+                                       packed_g=args.packed_g)
     mgr = CheckpointManager(os.path.join(args.experiment_dir, "checkpoints"))
     if mgr.latest_step() is None:
         raise SystemExit(f"no Orbax checkpoints under {args.experiment_dir}; "
@@ -105,7 +109,8 @@ def _export_dcgan(args):
     im, nc = params["imsize"], params["nc"]
     example = jnp.zeros((1, im, im, nc), jnp.float32)
     meta = {"source": args.experiment_dir, "model_type": "dcgan_generator",
-            "epoch": int(restored["epoch"])}
+            "epoch": int(restored["epoch"]),
+            "layout": "packed2" if args.packed_g else "default"}
     return fwd, example, meta
 
 
@@ -120,7 +125,7 @@ def _export_cyclegan(args):
     ndf = args.ndf or 64
     # seed only shapes the template init; restore() overwrites every weight
     models, _, states, _, _, _ = build_cyclegan(
-        nc=4, ndf=ndf, imsize=imsize, seed=369)
+        nc=4, ndf=ndf, imsize=imsize, seed=369, packed_g=args.packed_g)
     mgr = CheckpointManager(os.path.join(args.experiment_dir, "checkpoints"))
     if mgr.latest_step() is None:
         raise SystemExit(f"no Orbax checkpoints under {args.experiment_dir}; "
@@ -144,7 +149,8 @@ def _export_cyclegan(args):
     example = jnp.zeros((1, imsize, imsize, 4), jnp.float32)
     meta = {"source": args.experiment_dir,
             "model_type": f"cyclegan_generator_{args.direction}",
-            "epoch": int(restored["epoch"])}
+            "epoch": int(restored["epoch"]),
+            "layout": "packed2" if args.packed_g else "default"}
     return fwd, example, meta
 
 
@@ -164,6 +170,15 @@ def main(argv=None):
     parser.add_argument("--ndf", type=int, default=0,
                         help="discriminator/template width used at "
                              "TRAINING time (must match the checkpoint)")
+    parser.add_argument("--packed-g", dest="packed_g", action="store_true",
+                        help="export the generator's 2x2 space-to-depth "
+                             "compute layout (dcgan/cyclegan only): the "
+                             "identical function and checkpoint in "
+                             "MXU-fatter packed convs. Measured SLOWER "
+                             "than the default at every serving point "
+                             "on v5e (BENCH_NOTES 'packed_g ablation') "
+                             "— provided for one-flag re-measurement on "
+                             "other geometries")
     parser.add_argument("--platforms", type=str, nargs="*", default=None,
                         help="target runtimes, e.g. --platforms tpu cpu "
                              "(default: current backend only)")
@@ -174,6 +189,9 @@ def main(argv=None):
                         help="reload the artifact and verify numerics vs "
                              "the live model at two batch sizes")
     args = parser.parse_args(argv)
+    if args.packed_g and args.workload == "gat":
+        raise SystemExit("--packed-g applies to the dcgan/cyclegan "
+                         "generator workloads only")
 
     import numpy as np
 

@@ -225,6 +225,25 @@ def test_export_cli_dcgan_generator(tmp_path):
     meta = json.load(open(artifact + ".json"))
     assert meta["model_type"] == "dcgan_generator"
     assert meta["epoch"] == 1
+    assert meta["layout"] == "default"
+
+    # --packed-g: the SAME checkpoint exported in 2x2 space-to-depth
+    # compute layout (the generator-only-serving layout, BENCH_NOTES
+    # "packed_g ablation"). Same function: the two artifacts must agree
+    # on identical inputs up to float summation order.
+    packed = str(tmp_path / "g_packed.stablehlo")
+    export_model.main([
+        out, "--workload", "dcgan", "--ndf", "8", "--out", packed,
+        "--packed-g", "--check",
+    ])
+    assert json.load(open(packed + ".json"))["layout"] == "packed2"
+    import numpy as np
+
+    from extended_gan_tpu.serve import serving_fn
+    x = np.random.default_rng(7).random((3, 64, 64, 4), np.float32)
+    y_default = np.asarray(serving_fn(artifact)(x))
+    y_packed = np.asarray(serving_fn(packed)(x))
+    np.testing.assert_allclose(y_packed, y_default, rtol=1e-4, atol=1e-5)
 
 
 @pytest.mark.slow
