@@ -27,15 +27,19 @@ def _torch_baseline(n_features, n_vertices, seed=0):
 
     g = torch.Generator().manual_seed(seed)
 
+    # xavier-ish scale keeps activations in range so the semantic-parity
+    # test exercises unsaturated tanh/softmax, not their flat regions
+    s = n_features ** -0.5
+
     class Layer(nn.Module):
         def __init__(self):
             super().__init__()
             self.W = nn.Parameter(
-                torch.randn(n_features, n_features, generator=g))
+                torch.randn(n_features, n_features, generator=g) * s)
             self.a = nn.Parameter(
-                torch.randn(2 * n_features, 1, generator=g))
+                torch.randn(2 * n_features, 1, generator=g) * s)
             self.B = nn.Parameter(
-                torch.randn(n_vertices, n_vertices, generator=g))
+                torch.randn(n_vertices, n_vertices, generator=g).abs() * 0.1)
 
     class Head(nn.Module):
         def __init__(self):
@@ -122,6 +126,83 @@ def test_import_via_experiment_config(tmp_path):
     out = mod.main([str(exp), "--check"])
     assert out == str(exp / "model.msgpack")
     assert os.path.exists(out)
+
+
+def _naive_gat_layer(h, W, a, B, alpha=0.2):
+    """The reference GraphAttentionLayer math, naive numpy (the same
+    oracle test_torch_parity.py proves our layer against)."""
+    n_, v_, _ = h.shape
+
+    def leaky(x):
+        return np.where(x > 0, x, alpha * x)
+
+    def softmax(x):
+        e = np.exp(x - x.max(axis=-1, keepdims=True))
+        return e / e.sum(axis=-1, keepdims=True)
+
+    Wh = h @ W
+    e = np.zeros((n_, v_, v_), np.float32)
+    for nn_ in range(n_):
+        for i in range(v_):
+            for j in range(v_):
+                e[nn_, i, j] = leaky(
+                    np.concatenate([Wh[nn_, i], Wh[nn_, j]]) @ a[:, 0])
+    att = softmax(e)
+    adj = B + np.eye(v_, dtype=np.float32)
+    adj = (adj - adj.min()) / (adj.max() - adj.min())
+    d = adj.sum(axis=1)
+    adj_n = adj / np.sqrt(np.outer(d, d))
+    att = np.einsum("uv,nvw->nuw", adj_n, att)
+    hp = np.einsum("nuv,nve->nue", att, Wh)
+    return np.where(hp > 0, hp, np.expm1(hp))
+
+
+def test_imported_weights_semantic_parity(tmp_path):
+    """The decisive migration property: a model built from IMPORTED torch
+    weights predicts exactly what the reference math computes with those
+    same tensors (BaselineModel: two GAT layers + row-major reshape +
+    tanh, reference baseline_model.py:236-270)."""
+    w = h = 3
+    tsteps, v = 4, 5
+    nf = tsteps * w * h
+    tm = _torch_baseline(nf, v, seed=11)
+    pt = str(tmp_path / "model.pt")
+    torch.save(tm.state_dict(), pt)
+
+    mod = _importer()
+    out = str(tmp_path / "model.msgpack")
+    mod.main(["--model-type", "baseline", "--width", str(w), "--height",
+              str(h), "--vertices", str(v), "--pt", pt, "--out", out])
+
+    import jax
+    import jax.numpy as jnp
+
+    from extended_gan_tpu.models.registry import build_model
+    from extended_gan_tpu.train.checkpoint import load_model
+
+    model = build_model("baseline", image_width=w, image_height=h,
+                        n_vertices=v, mapping_type="linear",
+                        time_steps=tsteps)
+    template = model.init(jax.random.PRNGKey(0),
+                          jnp.zeros((2, w, h, tsteps, v)), train=False)
+    params, _ = load_model(out, template["params"])
+
+    x = np.random.default_rng(2).random(
+        (2, w, h, tsteps, v), np.float32) * 2 - 1
+    got = np.asarray(model.apply({"params": params}, jnp.asarray(x),
+                                 train=False))
+
+    sd = {k: t_.numpy() for k, t_ in tm.state_dict().items()}
+    hseq = x.reshape(2, w * h * tsteps, v).transpose(0, 2, 1)  # (B, V, F)
+    for layer in ("hidden_layer", "output_layer"):
+        hseq = _naive_gat_layer(
+            hseq,
+            sd[f"{layer}.attention_0.W"],
+            sd[f"{layer}.attention_0.a"],
+            sd[f"{layer}.attention_0.B"],
+        )
+    want = np.tanh(hseq.reshape(2, w, h, tsteps, v))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
 
 
 def test_import_rejects_unknown_family(tmp_path):
