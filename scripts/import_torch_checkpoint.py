@@ -45,9 +45,10 @@ SUPPORTED = ("baseline", "baseline2d")
 def _load_state_dict(path: str):
     import torch
 
+    # weights_only: never execute pickle code from a checkpoint. A whole
+    # saved module (rather than a state_dict) fails this load — torch's
+    # error says so; re-save it as model.state_dict() and retry.
     obj = torch.load(path, map_location="cpu", weights_only=True)
-    if hasattr(obj, "state_dict"):  # a whole module was saved
-        obj = obj.state_dict()
     if isinstance(obj, dict) and "state_dict" in obj \
             and all(hasattr(v, "numpy") for v in obj["state_dict"].values()):
         obj = obj["state_dict"]

@@ -214,6 +214,21 @@ def test_import_rejects_unknown_family(tmp_path):
                   "4", "--pt", "x.pt"])
 
 
+def test_import_rejects_partial_state_dict(tmp_path):
+    """A state_dict missing tensors fails loudly, naming the uncovered
+    params — never a silently half-initialized model."""
+    tm = _torch_baseline(4 * 4 * 4, 6, seed=2)
+    sd = tm.state_dict()
+    sd.pop("output_layer.attention_0.B")
+    pt = str(tmp_path / "model.pt")
+    torch.save(sd, pt)
+    mod = _importer()
+    with pytest.raises(SystemExit, match="missing params.*output_layer"):
+        mod.main(["--model-type", "baseline", "--width", "4", "--height",
+                  "4", "--vertices", "6", "--pt", pt,
+                  "--out", str(tmp_path / "m.msgpack")])
+
+
 def test_import_rejects_shape_mismatch(tmp_path):
     """Wrong geometry fails loudly with the offending key, not silently."""
     tm = _torch_baseline(4 * 4 * 4, 6, seed=1)
