@@ -205,6 +205,57 @@ def test_imported_weights_semantic_parity(tmp_path):
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
 
 
+@pytest.mark.slow
+def test_imported_checkpoint_drives_compare_models(tmp_path):
+    """The migration path end-to-end: a reference-style model.pt imported
+    into an experiment dir is directly evaluable by compare_models — no
+    retraining step in between (docs/MIGRATION.md 'Trained checkpoints')."""
+    base = tmp_path / "experiments"
+    d = base / "migrated_baseline"
+    os.makedirs(d)
+    (d / "config.py").write_text(
+        "import torch\n"
+        "import torch.nn as nn\n"
+        "from convolutional_gat.baseline_model import BaselineModel\n"
+        "MODEL = BaselineModel\n"
+        'MAPPING_TYPE = "linear"\n'
+        'DATASET = "synthetic"\n'
+        'PREPROCESSED_FOLDER = ""\n'
+        "EPOCHS = 1\n"
+        "TRAIN_BATCH_SIZE = 8\n"
+        "TEST_BATCH_SIZE = 8\n"
+        "LEARNING_RATE = 0.001\n"
+        "CRITERION = nn.MSELoss()\n"
+        "OPTIMIZER = torch.optim.Adam\n"
+        "DOWNSAMPLE_SIZE = (16, 16)\n"
+    )
+    tm = _torch_baseline(4 * 16 * 16, 6, seed=9)
+    torch.save(tm.state_dict(), str(d / "model.pt"))
+
+    mod = _importer()
+    out = mod.main([str(d)])
+    assert out == str(d / "model.msgpack")
+
+    import json
+
+    from convolutional_gat.compare_models.__main__ import compare_models
+
+    res = tmp_path / "results"
+    compare_models(
+        str(base),
+        ["migrated_baseline"],
+        out_path=str(res),
+        downsample_size=(16, 16),
+        preprocessed_folder="",
+        dataset="synthetic",
+    )
+    results = json.load(open(res / "results.json"))
+    metrics = results["migrated_baseline"]
+    assert np.isfinite(metrics["val_loss"])
+    assert metrics["n_parameters"] == sum(
+        p.numel() for p in tm.parameters())
+
+
 def test_import_rejects_unknown_family(tmp_path):
     """GAT3D families aren't importable (no authoritative torch key schema
     in the reference tree) — the error says so instead of guessing."""
