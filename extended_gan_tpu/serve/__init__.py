@@ -7,13 +7,21 @@ from .export import (
     save_exported,
     serving_fn,
 )
+from .quantize import (
+    fold_generator_bn,
+    folded_apply,
+    make_quantized_generator,
+)
 from .server import ModelServer, make_server, serve_forever
 
 __all__ = [
     "FORMAT_VERSION",
     "ModelServer",
     "export_forward",
+    "fold_generator_bn",
+    "folded_apply",
     "load_exported",
+    "make_quantized_generator",
     "make_server",
     "save_exported",
     "serve_forever",

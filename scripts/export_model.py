@@ -62,7 +62,7 @@ def _export_gat(args):
     example = jnp.zeros((1, w, h, t, v), jnp.float32)
     meta = {"source": args.experiment_dir, "model_type": cfg.model_type,
             "mapping_type": cfg.mapping_type}
-    return fwd, example, meta
+    return fwd, example, meta, None
 
 
 def _export_dcgan(args):
@@ -111,7 +111,7 @@ def _export_dcgan(args):
     meta = {"source": args.experiment_dir, "model_type": "dcgan_generator",
             "epoch": int(restored["epoch"]),
             "layout": "packed2" if args.packed_g else "default"}
-    return fwd, example, meta
+    return fwd, example, meta, variables
 
 
 def _export_cyclegan(args):
@@ -151,7 +151,7 @@ def _export_cyclegan(args):
             "model_type": f"cyclegan_generator_{args.direction}",
             "epoch": int(restored["epoch"]),
             "layout": "packed2" if args.packed_g else "default"}
-    return fwd, example, meta
+    return fwd, example, meta, variables
 
 
 def main(argv=None):
@@ -179,6 +179,14 @@ def main(argv=None):
                              "on v5e (BENCH_NOTES 'packed_g ablation') "
                              "— provided for one-flag re-measurement on "
                              "other geometries")
+    parser.add_argument("--quantize", choices=("w8", "w8a8"), default="",
+                        help="post-training int8 quantization of the "
+                             "exported generator (dcgan/cyclegan only): "
+                             "w8 = weight-only int8 (smaller artifact, "
+                             "f32 compute), w8a8 = int8 convs with int32 "
+                             "accumulation (MXU-native integer path; "
+                             "activation scales calibrated on a synthetic "
+                             "[0,1] frame batch — serve/quantize.py)")
     parser.add_argument("--platforms", type=str, nargs="*", default=None,
                         help="target runtimes, e.g. --platforms tpu cpu "
                              "(default: current backend only)")
@@ -192,6 +200,12 @@ def main(argv=None):
     if args.packed_g and args.workload == "gat":
         raise SystemExit("--packed-g applies to the dcgan/cyclegan "
                          "generator workloads only")
+    if args.quantize and args.workload == "gat":
+        raise SystemExit("--quantize applies to the dcgan/cyclegan "
+                         "generator workloads only")
+    if args.quantize and args.packed_g:
+        raise SystemExit("--quantize folds BN into the canonical conv "
+                         "layout; combine with --packed-g is unsupported")
 
     import numpy as np
 
@@ -201,11 +215,21 @@ def main(argv=None):
         serving_fn,
     )
 
-    fwd, example, meta = {
+    fwd, example, meta, variables = {
         "dcgan": _export_dcgan,
         "cyclegan": _export_cyclegan,
         "gat": _export_gat,
     }[args.workload](args)
+    if args.quantize:
+        from extended_gan_tpu.serve import make_quantized_generator
+
+        # calibration batch: the generator's input domain is normalized
+        # frames in [0, 1] (data_loader normalization, BASELINE.md)
+        calib = np.random.default_rng(0).random(
+            (8, *example.shape[1:]), np.float32)
+        fwd, qmeta = make_quantized_generator(
+            variables, mode=args.quantize, calib_x=calib)
+        meta.update(qmeta)
     if args.fixed_batch:
         example = np.zeros((args.fixed_batch, *example.shape[1:]),
                            example.dtype)
@@ -221,6 +245,11 @@ def main(argv=None):
     if args.check:
         serve = serving_fn(out)
         batches = (args.fixed_batch,) if args.fixed_batch else (2, 5)
+        # quantized closures round() to int8 bins: a 1-ulp f32 difference
+        # between the artifact's compilation and the live jit can flip a
+        # bin, so the agreement budget is one quantization step, not f32
+        # noise (tests/test_quantize.py pins quantized-vs-f32 numerics)
+        tol = 5e-3 if args.quantize else 1e-5
         for b in batches:
             rng = np.random.default_rng(0)
             x = rng.random((b, *example.shape[1:]), np.float32)
@@ -228,7 +257,7 @@ def main(argv=None):
             want = np.asarray(fwd(x))
             err = float(np.max(np.abs(got - want)))
             print(f"check b={b}: max|serve - live| = {err:.3e}")
-            assert err < 1e-5, "exported artifact diverges from live model"
+            assert err < tol, "exported artifact diverges from live model"
         print("check OK")
     return out
 

@@ -245,6 +245,25 @@ def test_export_cli_dcgan_generator(tmp_path):
     y_packed = np.asarray(serving_fn(packed)(x))
     np.testing.assert_allclose(y_packed, y_default, rtol=1e-4, atol=1e-5)
 
+    # --quantize: int8 PTQ of the same checkpoint (serve/quantize.py).
+    # w8 must track the f32 artifact tightly; w8a8 within the calibrated
+    # int8 budget; the w8 artifact must be smaller than the f32 one.
+    f32_nbytes = meta["nbytes"]
+    budgets = {"w8": 5e-3, "w8a8": 3e-2}
+    for mode, budget in budgets.items():
+        qpath = str(tmp_path / f"g_{mode}.stablehlo")
+        export_model.main([
+            out, "--workload", "dcgan", "--ndf", "8", "--out", qpath,
+            "--quantize", mode, "--check",
+        ])
+        qmeta = json.load(open(qpath + ".json"))
+        assert qmeta["quantize"] == mode
+        y_q = np.asarray(serving_fn(qpath)(x))
+        err = float(np.max(np.abs(y_q - y_default)))
+        assert err < budget, f"{mode} artifact err {err} > {budget}"
+        if mode == "w8":
+            assert qmeta["nbytes"] < f32_nbytes
+
 
 @pytest.mark.slow
 def test_export_cli_cyclegan_generator(tmp_path):

@@ -62,11 +62,31 @@ def test_predict_cli_synthetic(tmp_path):
 @pytest.mark.slow
 def test_plot_image_cli(tmp_path):
     """plot_image (the working form of the reference's abandoned
-    plot_image.py draft): experiment dir + checkpoint -> pred_N.png grid."""
-    from convolutional_gat.plot_image import main
+    plot_image.py draft): experiment dir + checkpoint -> pred_N.png grid.
 
-    exp = os.path.join(REPO, "convolutional_gat", "experiments",
+    Trains its own checkpoint into tmp first: the repo's
+    synthetic_smoke/model.msgpack is gitignored (mirroring the
+    reference's `*.pt` ignore), so a fresh checkout doesn't have one."""
+    import shutil
+
+    from convolutional_gat.plot_image import main
+    from extended_gan_tpu.train.gat_driver import train
+    from extended_gan_tpu.utils.config import load_experiment_config
+
+    src = os.path.join(REPO, "convolutional_gat", "experiments",
                        "synthetic_smoke")
+    exp = str(tmp_path / "synthetic_smoke")
+    shutil.copytree(src, exp)
+    for stale in os.listdir(exp):
+        if stale != "config.py":
+            p = os.path.join(exp, stale)
+            os.remove(p) if os.path.isfile(p) else shutil.rmtree(p)
+    cfg = load_experiment_config(exp)
+    cfg.output_path = exp
+    cfg.epochs = 1
+    train(max_batches=2, **cfg.to_dict())
+    assert os.path.exists(os.path.join(exp, "model.msgpack"))
+
     out = main([exp, "--dataset", "synthetic", "--raininess", "0.2",
                 "--epoch", "3", "--out", str(tmp_path)])
     assert out == str(tmp_path / "pred_3.png")
