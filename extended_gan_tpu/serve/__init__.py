@@ -12,6 +12,7 @@ from .quantize import (
     folded_apply,
     make_quantized_generator,
 )
+from .rollout import make_rollout
 from .server import ModelServer, make_server, serve_forever
 
 __all__ = [
@@ -22,6 +23,7 @@ __all__ = [
     "folded_apply",
     "load_exported",
     "make_quantized_generator",
+    "make_rollout",
     "make_server",
     "save_exported",
     "serve_forever",

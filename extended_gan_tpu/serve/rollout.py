@@ -1,0 +1,75 @@
+"""Autoregressive multi-horizon rollout for serving.
+
+Every frame-prediction model in this framework maps a context window to
+an equally-shaped prediction window (DCGAN generator: 4 frames in → 4
+frames out, reference ``/root/reference/dcgan/model.py:55-76``; GAT/UNet
+families: ``(B,H,W,T=4,V) → (B,H,W,4,V)``, reference
+``/root/reference/convolutional_gat/train.py:191-205``). The reference
+only ever predicts ONE window ahead; nowcasting deployments want a longer
+horizon — predict 4 frames, feed them back as the new context, repeat.
+
+The TPU-native formulation is a :func:`jax.lax.scan` over the model
+forward: K rollout steps compile into ONE XLA program, so a K-step
+horizon costs one dispatch instead of K host round-trips (the same
+dispatch-amortization physics as the training megastep — BENCH_NOTES
+"Pushing the plateau"). The rolled function is jittable and exports
+through :mod:`.export` like any forward, producing a single StableHLO
+artifact that emits the whole horizon.
+
+Composes with PTQ (:mod:`.quantize`): the quantized generator's sigmoid
+head keeps every intermediate window in [0, 1] — the calibrated input
+domain — so quantization error does not leave calibrated range as the
+rollout deepens.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def make_rollout(
+    fwd: Callable, steps: int, concat_axis: int | None = None
+) -> Callable:
+    """Wrap ``fwd`` into a K-step autoregressive rollout.
+
+    ``fwd(x) -> y`` must be shape-preserving (``y.shape == x.shape``) —
+    the prediction window re-enters as the next context window. Checked
+    eagerly via :func:`jax.eval_shape` so misuse fails at build time with
+    a clear message, not inside a scan trace.
+
+    Returns ``rolled(x)`` emitting the stacked horizon
+    ``(B, steps, *x.shape[1:])`` — window k at index k — or, with
+    ``concat_axis``, the windows concatenated along that axis of ``x``
+    (e.g. ``-1`` for the DCGAN frames-as-channels layout → a
+    ``(B, H, W, 4*steps)`` film strip; ``-2`` for the GAT ``(B,H,W,T,V)``
+    layout).
+    """
+    if steps < 1:
+        raise ValueError(f"rollout steps must be >= 1, got {steps}")
+
+    def rolled(x):
+        out = jax.eval_shape(fwd, x)
+        if out.shape != x.shape:
+            raise ValueError(
+                f"rollout needs a shape-preserving forward; got "
+                f"{x.shape} -> {out.shape}")
+
+        def body(h, _):
+            y = fwd(h)
+            return y, y
+
+        _, ys = lax.scan(body, x, None, length=steps)
+        ys = jnp.moveaxis(ys, 0, 1)  # (K, B, ...) -> (B, K, ...)
+        if concat_axis is None:
+            return ys
+        if concat_axis % x.ndim == 0:
+            raise ValueError("concat_axis cannot be the batch axis")
+        # windows concatenated along concat_axis of the ORIGINAL layout
+        return jnp.concatenate([ys[:, k] for k in range(steps)],
+                               axis=concat_axis)
+
+    return rolled

@@ -187,6 +187,13 @@ def main(argv=None):
                              "accumulation (MXU-native integer path; "
                              "activation scales calibrated on a synthetic "
                              "[0,1] frame batch — serve/quantize.py)")
+    parser.add_argument("--rollout", type=int, default=1,
+                        help="K>1: export a K-step autoregressive rollout "
+                             "(serve/rollout.py) — the prediction window "
+                             "feeds back as the next context inside ONE "
+                             "lax.scan program, so the artifact emits the "
+                             "full (B, K, ...) horizon in a single "
+                             "dispatch; composes with --quantize")
     parser.add_argument("--platforms", type=str, nargs="*", default=None,
                         help="target runtimes, e.g. --platforms tpu cpu "
                              "(default: current backend only)")
@@ -230,6 +237,13 @@ def main(argv=None):
         fwd, qmeta = make_quantized_generator(
             variables, mode=args.quantize, calib_x=calib)
         meta.update(qmeta)
+    if args.rollout < 1:
+        raise SystemExit("--rollout must be >= 1")
+    if args.rollout > 1:
+        from extended_gan_tpu.serve import make_rollout
+
+        fwd = make_rollout(fwd, args.rollout)
+        meta["rollout"] = args.rollout
     if args.fixed_batch:
         example = np.zeros((args.fixed_batch, *example.shape[1:]),
                            example.dtype)
@@ -249,7 +263,9 @@ def main(argv=None):
         # between the artifact's compilation and the live jit can flip a
         # bin, so the agreement budget is one quantization step, not f32
         # noise (tests/test_quantize.py pins quantized-vs-f32 numerics)
-        tol = 5e-3 if args.quantize else 1e-5
+        # bin-flips can compound through a rollout's re-quantized windows,
+        # so the quantized budget scales with the horizon depth
+        tol = (5e-3 * args.rollout) if args.quantize else 1e-5
         for b in batches:
             rng = np.random.default_rng(0)
             x = rng.random((b, *example.shape[1:]), np.float32)

@@ -264,6 +264,24 @@ def test_export_cli_dcgan_generator(tmp_path):
         if mode == "w8":
             assert qmeta["nbytes"] < f32_nbytes
 
+    # --rollout: K-step autoregressive horizon in one artifact
+    # (serve/rollout.py); window 0 must equal the one-step artifact and
+    # window k must equal the iterated one-step prediction.
+    rpath = str(tmp_path / "g_roll.stablehlo")
+    export_model.main([
+        out, "--workload", "dcgan", "--ndf", "8", "--out", rpath,
+        "--rollout", "3", "--check",
+    ])
+    rmeta = json.load(open(rpath + ".json"))
+    assert rmeta["rollout"] == 3
+    y_roll = np.asarray(serving_fn(rpath)(x))
+    assert y_roll.shape == (3, 3, 64, 64, 4)
+    one_step = serving_fn(artifact)
+    h = x
+    for k in range(3):
+        h = np.asarray(one_step(h))
+        np.testing.assert_allclose(y_roll[:, k], h, atol=1e-5)
+
 
 @pytest.mark.slow
 def test_export_cli_cyclegan_generator(tmp_path):
