@@ -11,6 +11,7 @@ from .quantize import (
     fold_generator_bn,
     folded_apply,
     make_quantized_generator,
+    make_w8_apply,
 )
 from .rollout import make_rollout
 from .server import ModelServer, make_server, serve_forever
@@ -24,6 +25,7 @@ __all__ = [
     "load_exported",
     "make_quantized_generator",
     "make_rollout",
+    "make_w8_apply",
     "make_server",
     "save_exported",
     "serve_forever",

@@ -123,6 +123,61 @@ def calibrate_activation_scales(layers: Sequence, calib_x) -> list[float]:
     return scales
 
 
+_W8_LEAF_NAMES = ("kernel", "W")  # Flax Conv/Dense/ConvTranspose + GAT W
+
+
+def _leaf_name(path) -> str:
+    last = path[-1]
+    return last.key if hasattr(last, "key") else str(last)
+
+
+def make_w8_apply(apply_fn: Callable, variables: dict) -> tuple[Callable, dict]:
+    """Generic weight-only int8 for ANY variable tree (model-agnostic —
+    the path for the GAT/UNet families whose graphs have no foldable
+    conv+BN chain shape like the DCGAN generator's).
+
+    Every float weight leaf named ``kernel`` (Flax Conv / ConvTranspose /
+    Dense) or ``W`` (GAT feature maps, models/gat/{layers,gat3d}.py) with
+    ndim >= 2 is stored per-out-channel symmetric int8 and dequantized to
+    f32 at run time; everything else (biases, BN affine/stats, attention
+    vectors ``a``, learnable adjacency ``B``) stays f32 — those are tiny
+    and numerics-sensitive. The returned ``fwd(x)`` closes over the int8
+    constants, so an exported artifact carries ~4x fewer weight bytes for
+    kernel-dominated models (SmaAt-UNet: 4.03M of 4.03M params are
+    kernels/biases).
+
+    ``apply_fn(variables, x)`` is the model's inference closure (caller
+    binds ``train=False``/mutable flags). Returns ``(fwd, meta)``.
+    """
+    leaves, treedef = jax.tree_util.tree_flatten_with_path(variables)
+    tagged = []
+    n_q = bytes_q = bytes_f32 = 0
+    for path, a in leaves:
+        a = jnp.asarray(a)
+        if (_leaf_name(path) in _W8_LEAF_NAMES and a.ndim >= 2
+                and jnp.issubdtype(a.dtype, jnp.floating)):
+            q, s = quantize_weight_int8(jnp.asarray(a, jnp.float32))
+            tagged.append((q, s))
+            n_q += 1
+            bytes_q += q.size + s.size * 4
+            bytes_f32 += a.size * 4
+        else:
+            tagged.append((a, None))
+
+    def fwd(x):
+        vals = [q.astype(jnp.float32) * s if s is not None else q
+                for q, s in tagged]
+        return apply_fn(jax.tree_util.tree_unflatten(treedef, vals), x)
+
+    meta = {
+        "quantize": "w8",
+        "quantized_leaves": n_q,
+        "weight_bytes_int8": int(bytes_q),
+        "weight_bytes_f32": int(bytes_f32),
+    }
+    return fwd, meta
+
+
 def make_quantized_generator(
     variables: dict,
     mode: str = "w8",

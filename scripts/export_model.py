@@ -56,13 +56,17 @@ def _export_gat(args):
     if bs:
         variables["batch_stats"] = bs
 
+    def apply_fn(v, x):
+        return model.apply(v, x, train=False)
+
     def fwd(x):
-        return model.apply(variables, x, train=False)
+        return apply_fn(variables, x)
 
     example = jnp.zeros((1, w, h, t, v), jnp.float32)
     meta = {"source": args.experiment_dir, "model_type": cfg.model_type,
             "mapping_type": cfg.mapping_type}
-    return fwd, example, meta, None
+    return fwd, example, meta, {"apply_fn": apply_fn,
+                                "variables": variables}
 
 
 def _export_dcgan(args):
@@ -207,9 +211,10 @@ def main(argv=None):
     if args.packed_g and args.workload == "gat":
         raise SystemExit("--packed-g applies to the dcgan/cyclegan "
                          "generator workloads only")
-    if args.quantize and args.workload == "gat":
-        raise SystemExit("--quantize applies to the dcgan/cyclegan "
-                         "generator workloads only")
+    if args.quantize == "w8a8" and args.workload == "gat":
+        raise SystemExit("--quantize w8a8 needs the BN-folded conv chain "
+                         "of the dcgan/cyclegan generators; the gat/unet "
+                         "families support weight-only --quantize w8")
     if args.quantize and args.packed_g:
         raise SystemExit("--quantize folds BN into the canonical conv "
                          "layout; combine with --packed-g is unsupported")
@@ -222,20 +227,28 @@ def main(argv=None):
         serving_fn,
     )
 
-    fwd, example, meta, variables = {
+    fwd, example, meta, qctx = {
         "dcgan": _export_dcgan,
         "cyclegan": _export_cyclegan,
         "gat": _export_gat,
     }[args.workload](args)
     if args.quantize:
-        from extended_gan_tpu.serve import make_quantized_generator
+        if args.workload == "gat":
+            # no foldable conv+BN chain: generic weight-only int8 over
+            # the variable tree (kernel/W leaves; serve/quantize.py)
+            from extended_gan_tpu.serve.quantize import make_w8_apply
 
-        # calibration batch: the generator's input domain is normalized
-        # frames in [0, 1] (data_loader normalization, BASELINE.md)
-        calib = np.random.default_rng(0).random(
-            (8, *example.shape[1:]), np.float32)
-        fwd, qmeta = make_quantized_generator(
-            variables, mode=args.quantize, calib_x=calib)
+            fwd, qmeta = make_w8_apply(qctx["apply_fn"], qctx["variables"])
+        else:
+            from extended_gan_tpu.serve import make_quantized_generator
+
+            # calibration batch: the generator's input domain is
+            # normalized frames in [0, 1] (data_loader normalization,
+            # BASELINE.md)
+            calib = np.random.default_rng(0).random(
+                (8, *example.shape[1:]), np.float32)
+            fwd, qmeta = make_quantized_generator(
+                qctx, mode=args.quantize, calib_x=calib)
         meta.update(qmeta)
     if args.rollout < 1:
         raise SystemExit("--rollout must be >= 1")

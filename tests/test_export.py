@@ -139,6 +139,23 @@ def test_export_cli_gat(tmp_path):
     assert os.path.exists(out)
     assert json.load(open(out + ".json"))["model_type"] == "temporal"
 
+    # --quantize w8 on the gat family: generic weight-only int8
+    # (serve/quantize.py::make_w8_apply); w8a8 is rejected (no foldable
+    # conv+BN chain)
+    qout = str(tmp_path / "artifact_w8.stablehlo")
+    export_model.main([str(exp), "--out", qout, "--quantize", "w8",
+                       "--check"])
+    qmeta = json.load(open(qout + ".json"))
+    assert qmeta["quantize"] == "w8" and qmeta["quantized_leaves"] > 0
+    assert qmeta["nbytes"] < json.load(open(out + ".json"))["nbytes"]
+    from extended_gan_tpu.serve import serving_fn
+    x = np.random.default_rng(3).random((2, 8, 8, 4, 6), np.float32)
+    err = float(np.max(np.abs(np.asarray(serving_fn(qout)(x)) -
+                              np.asarray(serving_fn(out)(x)))))
+    assert err < 5e-2, f"w8 gat artifact err {err}"
+    with pytest.raises(SystemExit, match="w8a8"):
+        export_model.main([str(exp), "--out", qout, "--quantize", "w8a8"])
+
 
 def test_http_server_predict_roundtrip(tmp_path):
     """Export -> serve over HTTP -> predict matches the live model; odd

@@ -192,3 +192,85 @@ def test_quantized_export_roundtrip(tmp_path, setup):
     assert qinfo["nbytes"] < finfo["nbytes"], (
         f"w8 artifact ({qinfo['nbytes']}B) not smaller than f32 "
         f"({finfo['nbytes']}B)")
+
+
+# ---- generic weight-only quantization (make_w8_apply) ----
+
+
+def _tiny_gat():
+    from extended_gan_tpu.core import KeySeq
+    from extended_gan_tpu.models.registry import build_model
+    from extended_gan_tpu.train.optim import adam
+    from extended_gan_tpu.train.state import create_net_state
+
+    model = build_model(
+        "temporal", image_width=8, image_height=8, n_vertices=6,
+        mapping_type="conv", time_steps=4,
+    )
+    state = create_net_state(
+        model, adam(1e-3), KeySeq(7).next(), jnp.zeros((2, 8, 8, 4, 6)))
+    variables = {"params": state.params}
+    if state.batch_stats:
+        variables["batch_stats"] = state.batch_stats
+    return model, variables
+
+
+def test_w8_apply_gat_numerics_and_byte_cut():
+    from extended_gan_tpu.serve.quantize import make_w8_apply
+
+    model, variables = _tiny_gat()
+    x = jnp.asarray(np.random.default_rng(2).random((2, 8, 8, 4, 6)),
+                    jnp.float32)
+    ref = model.apply(variables, x, train=False)
+
+    def apply_fn(v, xx):
+        return model.apply(v, xx, train=False)
+
+    fwd, meta = make_w8_apply(apply_fn, variables)
+    y = jax.jit(fwd)(x)
+    assert meta["quantize"] == "w8"
+    assert meta["quantized_leaves"] > 0
+    # quantized leaves carry ~4x fewer bytes than their f32 originals
+    assert meta["weight_bytes_int8"] < meta["weight_bytes_f32"] / 3
+    err = float(jnp.max(jnp.abs(y - ref)))
+    assert err < 5e-2, f"w8 gat output err {err}"
+    assert err > 0  # something actually got quantized
+
+
+def test_w8_apply_skips_sensitive_leaves():
+    """Attention vectors `a`, adjacency `B`, biases, and BN leaves stay
+    f32 — only kernel/W weight matrices quantize."""
+    from extended_gan_tpu.serve.quantize import _W8_LEAF_NAMES, make_w8_apply
+
+    model, variables = _tiny_gat()
+
+    names = []
+
+    def collect(path, a):
+        last = path[-1]
+        name = last.key if hasattr(last, "key") else str(last)
+        if (name in _W8_LEAF_NAMES and hasattr(a, "ndim") and a.ndim >= 2):
+            names.append(name)
+        return a
+
+    jax.tree_util.tree_map_with_path(collect, variables)
+    _, meta = make_w8_apply(lambda v, x: model.apply(v, x, train=False),
+                            variables)
+    assert meta["quantized_leaves"] == len(names)
+    # the GAT family really does carry W leaves (not just convs)
+    assert "W" in names or "kernel" in names
+
+
+def test_w8_apply_identity_when_nothing_quantizable():
+    from extended_gan_tpu.serve.quantize import make_w8_apply
+
+    variables = {"params": {"bias": jnp.ones((4,), jnp.float32)}}
+
+    def apply_fn(v, x):
+        return x + v["params"]["bias"]
+
+    fwd, meta = make_w8_apply(apply_fn, variables)
+    assert meta["quantized_leaves"] == 0
+    x = jnp.zeros((2, 4), jnp.float32)
+    np.testing.assert_array_equal(np.asarray(fwd(x)),
+                                  np.asarray(x + 1.0))
