@@ -131,3 +131,42 @@ def test_rollout_composes_with_quantized_generator():
         h = model.apply(variables, h, train=False)
         err = float(jnp.max(jnp.abs(y_q[:, k] - h)))
         assert err < 2e-3 * (k + 1), f"window {k}: err {err}"
+
+
+def test_rollout_artifact_serves_over_http(tmp_path):
+    """The HTTP server is artifact-shape-agnostic: a rollout artifact
+    serves the (B, K, ...) horizon through /predict with batch
+    bucketing (pad rows sliced off the leading axis only)."""
+    import io
+    import threading
+    import urllib.request
+
+    from extended_gan_tpu.serve import (
+        export_forward,
+        make_server,
+        save_exported,
+    )
+
+    rolled = make_rollout(_fwd, 2)
+    path = os.path.join(tmp_path, "rollout.stablehlo")
+    save_exported(export_forward(rolled, _x(batch=2)), path)
+
+    server = make_server(path, port=0)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        x = np.asarray(_x(batch=3, seed=4))  # pads to 4, slices back to 3
+        buf = io.BytesIO()
+        np.save(buf, x)
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/predict", data=buf.getvalue(),
+            method="POST")
+        with urllib.request.urlopen(req) as r:
+            y = np.load(io.BytesIO(r.read()))
+        assert y.shape == (3, 2, 5, 5, 4)
+        np.testing.assert_allclose(y, np.asarray(rolled(jnp.asarray(x))),
+                                   atol=1e-6)
+    finally:
+        server.shutdown()
+        server.server_close()
