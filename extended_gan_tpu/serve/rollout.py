@@ -32,7 +32,10 @@ from jax import lax
 
 
 def make_rollout(
-    fwd: Callable, steps: int, concat_axis: int | None = None
+    fwd: Callable,
+    steps: int,
+    concat_axis: int | None = None,
+    final_only: bool = False,
 ) -> Callable:
     """Wrap ``fwd`` into a K-step autoregressive rollout.
 
@@ -47,9 +50,18 @@ def make_rollout(
     (e.g. ``-1`` for the DCGAN frames-as-channels layout → a
     ``(B, H, W, 4*steps)`` film strip; ``-2`` for the GAT ``(B,H,W,T,V)``
     layout).
+
+    ``final_only=True`` emits just window K (``x``-shaped): the
+    "forecast K windows ahead" artifact. Besides the smaller reply, the
+    intermediate windows never leave the device — on remote-attached
+    serving the horizon's transfer bytes dominate wall time
+    (scripts/probe_rollout_serving.py), so this mode is near-flat in K.
     """
     if steps < 1:
         raise ValueError(f"rollout steps must be >= 1, got {steps}")
+    if final_only and concat_axis is not None:
+        raise ValueError("final_only emits one window; concat_axis "
+                         "does not apply")
 
     def rolled(x):
         out = jax.eval_shape(fwd, x)
@@ -57,6 +69,13 @@ def make_rollout(
             raise ValueError(
                 f"rollout needs a shape-preserving forward; got "
                 f"{x.shape} -> {out.shape}")
+
+        if final_only:
+            def body_carry(h, _):
+                return fwd(h), None
+
+            h, _ = lax.scan(body_carry, x, None, length=steps)
+            return h
 
         def body(h, _):
             y = fwd(h)

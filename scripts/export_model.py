@@ -198,6 +198,14 @@ def main(argv=None):
                              "lax.scan program, so the artifact emits the "
                              "full (B, K, ...) horizon in a single "
                              "dispatch; composes with --quantize")
+    parser.add_argument("--rollout-final", dest="rollout_final",
+                        action="store_true",
+                        help="with --rollout K: emit ONLY window K (the "
+                             "'forecast K windows ahead' artifact) — "
+                             "intermediate windows never leave the "
+                             "device, so the reply stays one window and "
+                             "remote serving is near-flat in K "
+                             "(probe_rollout_serving.py)")
     parser.add_argument("--platforms", type=str, nargs="*", default=None,
                         help="target runtimes, e.g. --platforms tpu cpu "
                              "(default: current backend only)")
@@ -218,6 +226,10 @@ def main(argv=None):
     if args.quantize and args.packed_g:
         raise SystemExit("--quantize folds BN into the canonical conv "
                          "layout; combine with --packed-g is unsupported")
+    if args.rollout < 1:
+        raise SystemExit("--rollout must be >= 1")
+    if args.rollout_final and args.rollout == 1:
+        raise SystemExit("--rollout-final needs --rollout K with K > 1")
 
     import numpy as np
 
@@ -250,13 +262,13 @@ def main(argv=None):
             fwd, qmeta = make_quantized_generator(
                 qctx, mode=args.quantize, calib_x=calib)
         meta.update(qmeta)
-    if args.rollout < 1:
-        raise SystemExit("--rollout must be >= 1")
     if args.rollout > 1:
         from extended_gan_tpu.serve import make_rollout
 
-        fwd = make_rollout(fwd, args.rollout)
+        fwd = make_rollout(fwd, args.rollout,
+                           final_only=args.rollout_final)
         meta["rollout"] = args.rollout
+        meta["rollout_final_only"] = bool(args.rollout_final)
     if args.fixed_batch:
         example = np.zeros((args.fixed_batch, *example.shape[1:]),
                            example.dtype)
@@ -276,9 +288,11 @@ def main(argv=None):
         # between the artifact's compilation and the live jit can flip a
         # bin, so the agreement budget is one quantization step, not f32
         # noise (tests/test_quantize.py pins quantized-vs-f32 numerics)
-        # bin-flips can compound through a rollout's re-quantized windows,
-        # so the quantized budget scales with the horizon depth
-        tol = (5e-3 * args.rollout) if args.quantize else 1e-5
+        # artifact-vs-live 1-ulp compile differences compound through a
+        # rollout's re-entrant windows (measured ~4e-5 after 8 windows of
+        # the trained dcgan generator), as do quantization bin-flips —
+        # both budgets scale with the horizon depth
+        tol = (5e-3 if args.quantize else 2e-5) * args.rollout
         for b in batches:
             rng = np.random.default_rng(0)
             x = rng.random((b, *example.shape[1:]), np.float32)

@@ -170,3 +170,17 @@ def test_rollout_artifact_serves_over_http(tmp_path):
     finally:
         server.shutdown()
         server.server_close()
+
+
+def test_rollout_final_only_equals_last_window():
+    x = _x()
+    full = make_rollout(_fwd, 4)(x)
+    final = jax.jit(make_rollout(_fwd, 4, final_only=True))(x)
+    assert final.shape == x.shape
+    np.testing.assert_allclose(np.asarray(final), np.asarray(full[:, -1]),
+                               atol=1e-6)
+
+
+def test_rollout_final_only_rejects_concat_axis():
+    with pytest.raises(ValueError, match="concat_axis"):
+        make_rollout(_fwd, 2, concat_axis=-1, final_only=True)
