@@ -90,14 +90,24 @@ def fold_generator_bn(variables: dict) -> list:
     return layers
 
 
-def folded_apply(layers: Sequence, x) -> jax.Array:
-    """Run the folded f32 layers — the quantization-free oracle."""
-    h = jnp.asarray(x, jnp.float32)
+def folded_apply(layers: Sequence, x, dtype: Any = jnp.float32,
+                 on_input: Callable | None = None) -> jax.Array:
+    """Run the folded layers — the quantization-free oracle.
+
+    ``dtype`` sets the compute dtype (bf16 for the half-precision serving
+    variant). ``on_input`` is called with each layer's INPUT tensor
+    before the conv — the single hook that calibration and any
+    intermediate-statistics consumer share, so there is exactly one copy
+    of the conv+act layer loop to keep in sync.
+    """
+    h = jnp.asarray(x, dtype)
     for k, b, act in layers:
-        h = lax.conv_general_dilated(h, k, (1, 1), "SAME",
-                                     dimension_numbers=_DN)
-        h = _act(act)(h + b)
-    return h
+        if on_input is not None:
+            on_input(h)
+        h = lax.conv_general_dilated(h, jnp.asarray(k, dtype), (1, 1),
+                                     "SAME", dimension_numbers=_DN)
+        h = _act(act)(h + jnp.asarray(b, dtype))
+    return h.astype(jnp.float32)
 
 
 def quantize_weight_int8(k) -> tuple:
@@ -111,15 +121,22 @@ def quantize_weight_int8(k) -> tuple:
 
 def calibrate_activation_scales(layers: Sequence, calib_x) -> list[float]:
     """Per-tensor absmax of each layer's INPUT on a representative batch,
-    collected from the folded f32 forward (host floats, baked as consts)."""
+    collected from the folded f32 forward (host floats, baked as consts).
+
+    Scales are SYMMETRIC (absmax/127) even though every folded-generator
+    activation is non-negative (input in [0,1], relu/sigmoid outputs) —
+    deliberately: an unsigned/asymmetric scheme would double the code
+    density but XLA's int8 conv path needs equal operand dtypes, so a
+    zero-point would cost a per-call correction conv. The measured error
+    budgets (tests/test_quantize.py) hold with the 7-bit effective range.
+    """
     scales = []
-    h = jnp.asarray(calib_x, jnp.float32)
-    for k, b, act in layers:
+
+    def record(h):
         amax = float(jnp.max(jnp.abs(h)))
         scales.append(max(amax, 1e-8) / 127.0)
-        h = lax.conv_general_dilated(h, k, (1, 1), "SAME",
-                                     dimension_numbers=_DN)
-        h = _act(act)(h + b)
+
+    folded_apply(layers, calib_x, on_input=record)
     return scales
 
 
@@ -183,6 +200,7 @@ def make_quantized_generator(
     mode: str = "w8",
     calib_x=None,
     compute_dtype: Any = jnp.float32,
+    reference_apply: Callable | None = None,
 ) -> tuple[Callable, dict]:
     """Build the quantized inference forward for a ``Generator``.
 
@@ -199,8 +217,22 @@ def make_quantized_generator(
     if mode not in ("w8", "w8a8"):
         raise ValueError(f"unknown quantization mode {mode!r}")
     layers = fold_generator_bn(variables)
-    qlayers = [(q, s, b, act) for (k, b, act) in layers
-               for (q, s) in (quantize_weight_int8(k),)]
+    if reference_apply is not None:
+        # guard the by-convention fold (block-name sort, act-by-position,
+        # eps, stride) against model drift: a wrong fold would otherwise
+        # ship silently, since every downstream check compares the folded
+        # closure against itself
+        probe = (jnp.asarray(calib_x[:2], jnp.float32) if calib_x is not None
+                 else jnp.full((1, 8, 8, layers[0][0].shape[2]), 0.5,
+                               jnp.float32))
+        drift = float(jnp.max(jnp.abs(
+            folded_apply(layers, probe) - reference_apply(probe))))
+        if drift > 1e-3:
+            raise ValueError(
+                f"BN fold diverges from the reference apply (max err "
+                f"{drift:.2e}); the Generator structure no longer matches "
+                f"fold_generator_bn's conventions")
+    qlayers = [(*quantize_weight_int8(k), b, act) for k, b, act in layers]
 
     if mode == "w8":
         def fwd(x):

@@ -41,8 +41,9 @@ def make_rollout(
 
     ``fwd(x) -> y`` must be shape-preserving (``y.shape == x.shape``) —
     the prediction window re-enters as the next context window. Checked
-    eagerly via :func:`jax.eval_shape` so misuse fails at build time with
-    a clear message, not inside a scan trace.
+    via :func:`jax.eval_shape` on the first call of the returned closure
+    (the earliest point an input shape exists), so misuse fails with a
+    clear message before the scan traces.
 
     Returns ``rolled(x)`` emitting the stacked horizon
     ``(B, steps, *x.shape[1:])`` — window k at index k — or, with
@@ -85,6 +86,9 @@ def make_rollout(
         ys = jnp.moveaxis(ys, 0, 1)  # (K, B, ...) -> (B, K, ...)
         if concat_axis is None:
             return ys
+        if not -x.ndim <= concat_axis < x.ndim:
+            raise ValueError(f"concat_axis {concat_axis} out of range for "
+                             f"a {x.ndim}-d input")
         if concat_axis % x.ndim == 0:
             raise ValueError("concat_axis cannot be the batch axis")
         # windows concatenated along concat_axis of the ORIGINAL layout

@@ -84,19 +84,8 @@ def main():
     def f32_fwd(x):
         return folded_apply(layers, x)
 
-    layers16 = [(k.astype(jnp.bfloat16), b.astype(jnp.bfloat16), a)
-                for k, b, a in layers]
-
     def bf16_fwd(x):
-        from extended_gan_tpu.serve.quantize import _act
-        from jax import lax
-        h = x.astype(jnp.bfloat16)
-        for k, b, a in layers16:
-            h = lax.conv_general_dilated(
-                h, k, (1, 1), "SAME",
-                dimension_numbers=("NHWC", "HWIO", "NHWC"))
-            h = _act(a)(h + b)
-        return h.astype(jnp.float32)
+        return folded_apply(layers, x, dtype=jnp.bfloat16)
 
     w8_fwd, _ = make_quantized_generator(variables, mode="w8")
     w8a8_fwd, _ = make_quantized_generator(variables, mode="w8a8",

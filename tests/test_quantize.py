@@ -274,3 +274,44 @@ def test_w8_apply_identity_when_nothing_quantizable():
     x = jnp.zeros((2, 4), jnp.float32)
     np.testing.assert_array_equal(np.asarray(fwd(x)),
                                   np.asarray(x + 1.0))
+
+
+def test_fold_validation_against_reference_apply(setup):
+    """make_quantized_generator(reference_apply=...) accepts the true
+    model and rejects a drifted one."""
+    model, variables, x, _ = setup
+
+    def good(xx):
+        return model.apply(variables, xx, train=False)
+
+    fwd, _ = make_quantized_generator(variables, mode="w8", calib_x=x,
+                                      reference_apply=good)
+    assert fwd is not None
+
+    def drifted(xx):
+        return good(xx) + 0.01
+
+    with pytest.raises(ValueError, match="fold diverges"):
+        make_quantized_generator(variables, mode="w8", calib_x=x,
+                                 reference_apply=drifted)
+
+
+def test_folded_apply_bf16_close_to_f32(setup):
+    """The dtype hook: bf16 folded forward tracks f32 within half-
+    precision rounding (the probe's bf16 serving variant)."""
+    from extended_gan_tpu.serve.quantize import fold_generator_bn
+
+    _, variables, x, ref = setup
+    layers = fold_generator_bn(variables)
+    y16 = folded_apply(layers, x, dtype=jnp.bfloat16)
+    assert y16.dtype == jnp.float32  # cast back at the boundary
+    assert float(jnp.max(jnp.abs(y16 - ref))) < 3e-2
+
+
+def test_calibration_via_on_input_hook_matches_layer_count(setup):
+    _, variables, x, _ = setup
+    layers = fold_generator_bn(variables)
+    seen = []
+    folded_apply(layers, x, on_input=lambda h: seen.append(h.shape))
+    assert len(seen) == len(layers)
+    assert seen[0] == x.shape

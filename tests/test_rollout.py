@@ -184,3 +184,10 @@ def test_rollout_final_only_equals_last_window():
 def test_rollout_final_only_rejects_concat_axis():
     with pytest.raises(ValueError, match="concat_axis"):
         make_rollout(_fwd, 2, concat_axis=-1, final_only=True)
+
+
+def test_rollout_concat_axis_out_of_range():
+    with pytest.raises(ValueError, match="out of range"):
+        make_rollout(_fwd, 2, concat_axis=5)(_x())
+    with pytest.raises(ValueError, match="out of range"):
+        make_rollout(_fwd, 2, concat_axis=-5)(_x())
