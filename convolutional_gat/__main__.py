@@ -41,6 +41,15 @@ def main():
                              "program (amortizes per-program dispatch "
                              "overhead K-ways; decisive on remote-"
                              "attached chips — config key MEGASTEP)")
+    parser.add_argument("--moe-experts", type=int, default=0,
+                        help="E>0: Switch-MoE bottleneck with E experts "
+                             "on the unet model families (config key "
+                             "MOE_EXPERTS); with a data axis that divides "
+                             "E, expert weights+moments shard over it "
+                             "(expert parallelism)")
+    parser.add_argument("--moe-aux-weight", type=float, default=0.01,
+                        help="load-balance aux-loss weight for --moe-"
+                             "experts (config key MOE_AUX_WEIGHT)")
     parser.add_argument("--profile", action="store_true",
                         help="record per-epoch step timing (steps/sec, "
                              "dispatch latency) into history.json")
@@ -89,6 +98,8 @@ def main():
             model_axis=args.model_axis,
             megastep=args.megastep,
             use_pallas=args.use_pallas,
+            moe_experts=args.moe_experts,
+            moe_aux_weight=args.moe_aux_weight,
             profile=args.profile,
             profile_trace_dir=args.profile_trace_dir,
         )
@@ -108,6 +119,7 @@ def main():
             spatial=args.spatial or None,
             megastep=args.megastep or None,
             use_pallas=args.use_pallas,
+            moe_experts=args.moe_experts or None,
         )
         if args.model_axis != 1:
             overrides["model_axis"] = args.model_axis

@@ -43,7 +43,7 @@ def _adapter(ctor, *, takes_attention: bool):
 
     def make(image_width, image_height, n_vertices, attention_type,
              mapping_type, time_steps=4, dtype=jnp.float32,
-             use_pallas=False):
+             use_pallas=False, moe_experts=0):
         kwargs = dict(
             image_width=image_width, image_height=image_height,
             n_vertices=n_vertices, time_steps=time_steps,
@@ -57,6 +57,12 @@ def _adapter(ctor, *, takes_attention: bool):
                       f"use_pallas ignored")
             else:
                 kwargs["use_pallas"] = True
+        if moe_experts:
+            if "moe_experts" not in fields:
+                print(f"[registry] {ctor.__name__} has no MoE bottleneck; "
+                      f"moe_experts ignored")
+            else:
+                kwargs["moe_experts"] = moe_experts
         return ctor(**kwargs)
 
     return make

@@ -246,6 +246,11 @@ class SmaAt_UNet(nn.Module):
     reduction_ratio: int = 16
     base: int = 64
     use_pallas: bool = False
+    # moe_experts > 0 adds a Switch-MoE residual FFN over the bottleneck
+    # tokens (models/moe.py) — conditional capacity the reference never
+    # had; the expert axis shards over the mesh (parallel/expert.py)
+    moe_experts: int = 0
+    moe_capacity_factor: float = 2.0
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -274,6 +279,14 @@ class SmaAt_UNet(nn.Module):
             x4, train=train)
         x5a = CBAM(self.reduction_ratio, dtype=self.dtype, name="cbam5")(
             x5, train=train)
+        if self.moe_experts:
+            from .moe import SwitchMoE
+
+            x5a = SwitchMoE(
+                num_experts=self.moe_experts,
+                capacity_factor=self.moe_capacity_factor,
+                dtype=self.dtype, name="moe",
+            )(x5a)
         x = UpDS(b_ * 8 // factor, kpl, self.bilinear, use_pallas=self.use_pallas,
                  dtype=self.dtype, name="up1")(x5a, x4a, train=train)
         x = UpDS(b_ * 4 // factor, kpl, self.bilinear, use_pallas=self.use_pallas,

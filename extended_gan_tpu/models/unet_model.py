@@ -33,13 +33,15 @@ class _UNetShim(nn.Module):
     train: bool
     dtype: Any
     use_pallas: bool = False
+    moe_experts: int = 0
 
     @nn.compact
     def __call__(self, x):
         return SmaAt_UNet(
             n_channels=self.time_steps, n_classes=self.time_steps,
             kernels_per_layer=self.kernels_per_layer, dtype=self.dtype,
-            use_pallas=self.use_pallas, name="unet",
+            use_pallas=self.use_pallas, moe_experts=self.moe_experts,
+            name="unet",
         )(x, train=self.train)
 
 
@@ -61,6 +63,7 @@ class UnetModel(nn.Module):
     kernels_per_layer: int = 2     # matches the reference's 4,032,548 params
     per_vertex_bn: bool = False
     use_pallas: bool = False       # fused Pallas DSC kernels in the UNet
+    moe_experts: int = 0           # Switch-MoE bottleneck (models/moe.py)
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -71,7 +74,8 @@ class UnetModel(nn.Module):
                 _UNetShim,
                 in_axes=0,
                 out_axes=0,
-                variable_axes={"params": None, "batch_stats": 0},
+                variable_axes={"params": None, "batch_stats": 0,
+                               "losses": 0},
                 split_rngs={"params": False, "dropout": True},
             )
             xv = x.transpose(4, 0, 1, 2, 3)  # (V, B, H, W, T)
@@ -79,13 +83,15 @@ class UnetModel(nn.Module):
                 time_steps=self.time_steps,
                 kernels_per_layer=self.kernels_per_layer,
                 train=train, dtype=self.dtype,
-                use_pallas=self.use_pallas, name="shared",
+                use_pallas=self.use_pallas,
+                moe_experts=self.moe_experts, name="shared",
             )(xv)
             return y.transpose(1, 2, 3, 4, 0)
         xb = x.transpose(0, 4, 1, 2, 3).reshape(b * v, h, w, t)
         y = SmaAt_UNet(
             n_channels=self.time_steps, n_classes=self.time_steps,
             kernels_per_layer=self.kernels_per_layer, dtype=self.dtype,
-            use_pallas=self.use_pallas, name="unet",
+            use_pallas=self.use_pallas, moe_experts=self.moe_experts,
+            name="unet",
         )(xb, train=train)
         return y.reshape(b, v, h, w, t).transpose(0, 2, 3, 4, 1)

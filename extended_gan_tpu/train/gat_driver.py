@@ -222,6 +222,8 @@ def train(
     spatial: bool = False,
     use_pallas: bool | None = None,
     megastep: int = 0,
+    moe_experts: int = 0,
+    moe_aux_weight: float = 0.01,
     profile: bool = False,
     profile_trace_dir: str = "",
     **_ignored,
@@ -284,6 +286,7 @@ def train(
         time_steps=steps,
         dtype=dtype,
         use_pallas=use_pallas,
+        moe_experts=moe_experts,
     )
     tx = make_optimizer(optimizer, learning_rate,
                         weight_decay=weight_decay)
@@ -299,21 +302,33 @@ def train(
             from ..parallel import shard_net_state_tp
 
             s = shard_net_state_tp(s, mesh, tp_min_channels)
+        if moe_experts and mesh.n_data > 1 \
+                and moe_experts % mesh.n_data == 0:
+            # EP: each data-axis device holds E/D experts (+ moments)
+            from ..parallel.expert import shard_tree_moe_ep
+
+            s = s.replace(
+                params=shard_tree_moe_ep(s.params, mesh, moe_experts),
+                opt_state=shard_tree_moe_ep(
+                    s.opt_state, mesh, moe_experts),
+            )
         return s
 
     state = place(state)
     print(f"Number of parameters: {param_count(state)}")
     print(f"Using mapping: {model.mapping_type}")
 
+    aux_w = moe_aux_weight if moe_experts else 0.0
     step = make_gat_train_step(model, tx, remat=remat,
-                               criterion=criterion)
+                               criterion=criterion, moe_aux_weight=aux_w)
     eval_step = make_gat_eval_step(model)
     megastep_fn = None
     if megastep > 1:
         from .gat_trainer import make_gat_megastep
 
         megastep_fn = make_gat_megastep(model, tx, remat=remat,
-                                        criterion=criterion)
+                                        criterion=criterion,
+                                        moe_aux_weight=aux_w)
         print(f"[megastep] {megastep} steps per XLA program")
 
     scheduler = (

@@ -33,10 +33,15 @@ from .state import NetState
 
 
 def _make_gat_step_body(model, tx, *, remat: bool = False,
-                        criterion: str = "mse"):
+                        criterion: str = "mse",
+                        moe_aux_weight: float = 0.0):
     """The un-jitted single-step update shared by
     :func:`make_gat_train_step` (one program per step, donated state) and
-    :func:`make_gat_megastep` (K steps scanned into one program)."""
+    :func:`make_gat_megastep` (K steps scanned into one program).
+
+    ``moe_aux_weight > 0`` (MoE models, models/moe.py): the sowed
+    ``"losses"`` collection (Switch load-balance aux) is made mutable and
+    its sum joins the loss with that weight."""
     if criterion not in ("mse", "l1"):
         raise ValueError(
             f"unsupported criterion {criterion!r}; choose 'mse' or 'l1'"
@@ -46,9 +51,11 @@ def _make_gat_step_body(model, tx, *, remat: bool = False,
         variables = {"params": params}
         if has_bs:
             variables["batch_stats"] = batch_stats
+        muts = (["batch_stats"] if has_bs else []) + (
+            ["losses"] if moe_aux_weight else [])
         return model.apply(
             variables, x, train=True,
-            mutable=["batch_stats"] if has_bs else False,
+            mutable=muts if muts else False,
             rngs={"dropout": rng},
         )
 
@@ -62,16 +69,23 @@ def _make_gat_step_body(model, tx, *, remat: bool = False,
         def loss_fn(params):
             has_bs = bool(state.batch_stats)
             out = fwd(params, state.batch_stats, x, rng, has_bs)
-            y_hat, new_bs = (
-                (out[0], out[1]["batch_stats"]) if has_bs
-                else (out, state.batch_stats)
-            )
+            if has_bs or moe_aux_weight:
+                y_hat, updates = out
+                new_bs = updates.get("batch_stats", state.batch_stats)
+            else:
+                y_hat, updates = out, {}
+                new_bs = state.batch_stats
             n_el = jnp.maximum(jnp.sum(mask), 1.0) * jnp.float32(y[0].size)
             err = ((y_hat - y) ** 2 if criterion == "mse"
                    else jnp.abs(y_hat - y))
             sq = jnp.sum(err * m)
             mean_pred = jnp.sum(y_hat * m) / n_el
             loss = sq / n_el - 0.0005 * mean_pred  # reference :131
+            if moe_aux_weight:
+                aux = jax.tree_util.tree_reduce(
+                    lambda a, b: a + jnp.sum(b),
+                    updates.get("losses", {}), jnp.float32(0.0))
+                loss = loss + moe_aux_weight * aux
             return loss, (y_hat, new_bs, sq)
 
         (loss, (y_hat, new_bs, sq)), grads = jax.value_and_grad(
@@ -87,7 +101,8 @@ def _make_gat_step_body(model, tx, *, remat: bool = False,
 
 
 def make_gat_train_step(model, tx, *, remat: bool = False,
-                        criterion: str = "mse"):
+                        criterion: str = "mse",
+                        moe_aux_weight: float = 0.0):
     """One fused XLA program per train step (donated state).
 
     remat=True rematerializes the forward during the backward pass
@@ -98,12 +113,14 @@ def make_gat_train_step(model, tx, *, remat: bool = False,
     torch loss module to train(), convolutional_gat/train.py:131): "mse"
     (the only one the reference's configs use) or "l1". Unknown names
     raise — silently training MSE under another label is worse."""
-    body = _make_gat_step_body(model, tx, remat=remat, criterion=criterion)
+    body = _make_gat_step_body(model, tx, remat=remat, criterion=criterion,
+                               moe_aux_weight=moe_aux_weight)
     return functools.partial(jax.jit, donate_argnums=(0,))(body)
 
 
 def make_gat_megastep(model, tx, *, remat: bool = False,
-                      criterion: str = "mse"):
+                      criterion: str = "mse",
+                      moe_aux_weight: float = 0.0):
     """K train steps fused into ONE XLA program via lax.scan.
 
     The per-PROGRAM dispatch/transport overhead is paid once per K steps
@@ -123,7 +140,8 @@ def make_gat_megastep(model, tx, *, remat: bool = False,
     """
     from .megastep import wrap_megastep
 
-    body = _make_gat_step_body(model, tx, remat=remat, criterion=criterion)
+    body = _make_gat_step_body(model, tx, remat=remat, criterion=criterion,
+                               moe_aux_weight=moe_aux_weight)
     return wrap_megastep(body)
 
 

@@ -53,6 +53,9 @@ class ExperimentConfig:
     shuffle_mode: str = "batch"  # "batch" (reference) | "global" mixing
     megastep: int = 0  # K>1: K train steps fused into one XLA program
     spatial: bool = False  # SP: stripe the frame axis over model_axis
+    moe_experts: int = 0  # E>0: Switch-MoE bottleneck (unet families);
+    # expert weights shard over the data axis when it divides E (EP)
+    moe_aux_weight: float = 0.01  # load-balance aux-loss weight
     # fused Pallas kernels (GAT attention, SmaAt-UNet DSC);
     # None = auto (ON on TPU, OFF elsewhere)
     use_pallas: bool | None = None
