@@ -160,6 +160,7 @@ def compare_models(
             image_width=image_width, image_height=image_height,
             n_vertices=n_vertices, mapping_type=cfg.mapping_type,
             time_steps=steps,
+            moe_experts=getattr(cfg, "moe_experts", 0),
         )
         tx = adam(1e-3)
         state = create_net_state(

@@ -67,6 +67,7 @@ def create_comparison_plot(
         model = build_model(
             cfg.model_type, image_width=w, image_height=h, n_vertices=v,
             mapping_type=cfg.mapping_type, time_steps=t,
+            moe_experts=getattr(cfg, "moe_experts", 0),
         )
         state = create_net_state(
             model, adam(1e-3), keys.next(),

@@ -80,6 +80,7 @@ def main(argv=None):
     model = build_model(
         cfg.model_type, image_width=w, image_height=h, n_vertices=v,
         mapping_type=cfg.mapping_type, time_steps=t,
+        moe_experts=getattr(cfg, "moe_experts", 0),
     )
     state = create_net_state(
         model, adam(1e-3), KeySeq(cfg.seed).next(),

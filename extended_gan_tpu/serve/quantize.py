@@ -110,11 +110,19 @@ def folded_apply(layers: Sequence, x, dtype: Any = jnp.float32,
     return h.astype(jnp.float32)
 
 
-def quantize_weight_int8(k) -> tuple:
+def quantize_weight_int8(k, *, keep_leading: bool = False) -> tuple:
     """Per-out-channel symmetric int8: ``k ~= q * scale`` with
-    ``q`` int8 in [-127, 127] and ``scale`` f32 ``(cout,)``."""
-    amax = jnp.max(jnp.abs(k), axis=tuple(range(k.ndim - 1)))
+    ``q`` int8 in [-127, 127] and ``scale`` f32 ``(cout,)``.
+
+    ``keep_leading=True`` (stacked expert weights, models/moe.py: (E, ...,
+    cout)): scales are per (expert, out-channel) — one expert's magnitude
+    never clips another's — stored broadcast-ready as (E, 1, ..., cout)."""
+    first = 1 if keep_leading else 0
+    amax = jnp.max(jnp.abs(k), axis=tuple(range(first, k.ndim - 1)))
     scale = jnp.where(amax > 0, amax / 127.0, 1.0).astype(jnp.float32)
+    if keep_leading:
+        scale = scale.reshape(
+            (k.shape[0],) + (1,) * (k.ndim - 2) + (k.shape[-1],))
     q = jnp.clip(jnp.round(k / scale), -127, 127).astype(jnp.int8)
     return q, scale
 
@@ -141,6 +149,10 @@ def calibrate_activation_scales(layers: Sequence, calib_x) -> list[float]:
 
 
 _W8_LEAF_NAMES = ("kernel", "W")  # Flax Conv/Dense/ConvTranspose + GAT W
+# stacked MoE expert weights (models/moe.py, (E, ..., cout)): quantized
+# with per-(expert, out-channel) scales; the router stays f32 (argmax
+# routing is numerics-sensitive and tiny)
+_W8_EXPERT_LEAF_NAMES = ("w1", "w2")
 
 
 def _leaf_name(path) -> str:
@@ -156,8 +168,10 @@ def make_w8_apply(apply_fn: Callable, variables: dict) -> tuple[Callable, dict]:
     Every float weight leaf named ``kernel`` (Flax Conv / ConvTranspose /
     Dense) or ``W`` (GAT feature maps, models/gat/{layers,gat3d}.py) with
     ndim >= 2 is stored per-out-channel symmetric int8 and dequantized to
-    f32 at run time; everything else (biases, BN affine/stats, attention
-    vectors ``a``, learnable adjacency ``B``) stays f32 — those are tiny
+    f32 at run time; stacked MoE expert weights (``moe/{w1,w2}``,
+    models/moe.py) get per-(expert, out-channel) scales; everything else
+    (biases, BN affine/stats, attention vectors ``a``, learnable
+    adjacency ``B``, the MoE router) stays f32 — those are tiny
     and numerics-sensitive. The returned ``fwd(x)`` closes over the int8
     constants, so an exported artifact carries ~4x fewer weight bytes for
     kernel-dominated models (SmaAt-UNet: 4.03M of 4.03M params are
@@ -171,9 +185,15 @@ def make_w8_apply(apply_fn: Callable, variables: dict) -> tuple[Callable, dict]:
     n_q = bytes_q = bytes_f32 = 0
     for path, a in leaves:
         a = jnp.asarray(a)
-        if (_leaf_name(path) in _W8_LEAF_NAMES and a.ndim >= 2
+        name = _leaf_name(path)
+        in_moe = any(getattr(p, "key", None) == "moe" for p in path)
+        is_plain = name in _W8_LEAF_NAMES and a.ndim >= 2
+        is_expert = (in_moe and name in _W8_EXPERT_LEAF_NAMES
+                     and a.ndim >= 3)
+        if ((is_plain or is_expert)
                 and jnp.issubdtype(a.dtype, jnp.floating)):
-            q, s = quantize_weight_int8(jnp.asarray(a, jnp.float32))
+            q, s = quantize_weight_int8(
+                jnp.asarray(a, jnp.float32), keep_leading=is_expert)
             tagged.append((q, s))
             n_q += 1
             bytes_q += q.size + s.size * 4

@@ -40,9 +40,17 @@ def _export_gat(args):
     w, h = args.width or cfg.downsample_size[0], \
         args.height or cfg.downsample_size[1]
     t, v = args.time_steps, args.vertices
+    moe_experts = getattr(cfg, "moe_experts", 0)
+    if moe_experts and not args.fixed_batch:
+        # MoE routing (models/moe.py) sizes the per-expert capacity from
+        # the static token count — a symbolic batch axis has none
+        args.fixed_batch = 1
+        print("[export] MoE model: batch axis pinned to 1 "
+              "(--fixed-batch overrides)")
     model = build_model(
         cfg.model_type, image_width=w, image_height=h, n_vertices=v,
         mapping_type=cfg.mapping_type, time_steps=t,
+        moe_experts=moe_experts,
     )
     state = create_net_state(
         model, adam(1e-3), KeySeq(cfg.seed).next(), jnp.zeros((2, w, h, t, v))

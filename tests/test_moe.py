@@ -197,6 +197,83 @@ def test_shard_tree_moe_ep_targets_only_expert_leaves():
     assert {s.data.nbytes for s in inc.addressable_shards} == {inc.nbytes}
 
 
+def test_moe_export_cli_roundtrip(tmp_path):
+    """MoE experiment -> artifact: config-driven rebuild carries
+    MOE_EXPERTS, the batch axis auto-pins (static routing shapes), and
+    --quantize w8 int8-packs the stacked expert weights too."""
+    import json
+    import os
+    import sys
+
+    from extended_gan_tpu.core import KeySeq
+    from extended_gan_tpu.models.registry import build_model
+    from extended_gan_tpu.train.checkpoint import save_model
+    from extended_gan_tpu.train.optim import adam
+    from extended_gan_tpu.train.state import create_net_state
+
+    exp = tmp_path / "exp_moe"
+    os.makedirs(exp)
+    (exp / "config.py").write_text(
+        'MODEL_TYPE = "unet"\n'
+        'MAPPING_TYPE = "conv"\n'
+        'DATASET = "synthetic"\n'
+        "DOWNSAMPLE_SIZE = (16, 16)\n"
+        "MOE_EXPERTS = 2\n"
+    )
+    model = build_model(
+        "unet", image_width=16, image_height=16, n_vertices=2,
+        mapping_type="conv", time_steps=4, moe_experts=2,
+    )
+    state = create_net_state(
+        model, adam(1e-3), KeySeq(369).next(),
+        jnp.zeros((2, 16, 16, 4, 2)),
+    )
+    save_model(str(exp / "model.msgpack"), state.params,
+               state.batch_stats)
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(repo, "scripts"))
+    try:
+        import export_model
+    finally:
+        sys.path.pop(0)
+    out = str(tmp_path / "moe.stablehlo")
+    export_model.main([str(exp), "--vertices", "2", "--out", out,
+                       "--check"])
+    meta = json.load(open(out + ".json"))
+    assert meta["model_type"] == "unet"
+
+    qout = str(tmp_path / "moe_w8.stablehlo")
+    export_model.main([str(exp), "--vertices", "2", "--out", qout,
+                       "--quantize", "w8", "--check"])
+    qmeta = json.load(open(qout + ".json"))
+    # plain unet quantizes kernels only; the MoE artifact must also catch
+    # the two stacked expert leaves (unet/moe/{w1,w2})
+    assert qmeta["quantized_leaves"] > 0
+    from extended_gan_tpu.serve import serving_fn
+    x = np.random.default_rng(5).random((1, 16, 16, 4, 2), np.float32)
+    err = float(np.max(np.abs(np.asarray(serving_fn(qout)(x)) -
+                              np.asarray(serving_fn(out)(x)))))
+    assert err < 5e-2, f"w8 moe artifact err {err}"
+
+
+def test_w8_quantizes_expert_leaves_per_expert():
+    """Stacked (E, C, H) expert weights get per-(expert, cout) scales —
+    one expert's magnitude never clips another's."""
+    from extended_gan_tpu.serve.quantize import quantize_weight_int8
+
+    k = np.ones((2, 3, 4), np.float32)
+    k[1] *= 100.0  # expert 1 is 100x larger
+    q, s = quantize_weight_int8(jnp.asarray(k), keep_leading=True)
+    assert s.shape == (2, 1, 4)
+    deq = np.asarray(q, np.float32) * np.asarray(s)
+    np.testing.assert_allclose(deq, k, rtol=1e-2)
+    # without keep_leading, expert 0 would collapse to ~1 int8 bin
+    q0, s0 = quantize_weight_int8(jnp.asarray(k))
+    deq0 = np.asarray(q0, np.float32) * np.asarray(s0)
+    assert np.abs(deq0 - k)[0].max() > np.abs(deq - k)[0].max()
+
+
 def test_moe_config_key_roundtrip(tmp_path):
     """MOE_EXPERTS / MOE_AUX_WEIGHT parse from an experiment config.py."""
     from extended_gan_tpu.utils.config import load_experiment_config
