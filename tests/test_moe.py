@@ -197,6 +197,48 @@ def test_shard_tree_moe_ep_targets_only_expert_leaves():
     assert {s.data.nbytes for s in inc.addressable_shards} == {inc.nbytes}
 
 
+def test_moe_composes_with_megastep():
+    """K scanned MoE steps == K sequential single steps (same rngs) —
+    the aux-loss plumbing survives the lax.scan megastep wrapper.
+
+    SGD strict tier (the repo's convention for scanned-vs-sequential
+    oracles): under Adam the 1-ulp f32 reduction-order differences
+    between the two compiled programs amplify through 1/sqrt(nu) into
+    ~1e-3 param drift on near-zero-gradient leaves — true of the dense
+    UNet too, not an MoE effect."""
+    from extended_gan_tpu.models.unet_model import UnetModel
+    from extended_gan_tpu.train.gat_trainer import (
+        make_gat_megastep, make_gat_train_step,
+    )
+    from extended_gan_tpu.train.optim import make_optimizer
+    from extended_gan_tpu.train.state import create_net_state
+
+    model = UnetModel(
+        image_width=16, image_height=16, n_vertices=2, time_steps=4,
+        kernels_per_layer=1, moe_experts=2,
+    )
+    tx = make_optimizer("sgd", 1e-2)
+    x0 = jax.random.normal(jax.random.PRNGKey(20), (2, 2, 16, 16, 4, 2))
+    ys = jnp.zeros_like(x0)
+    ms = jnp.ones((2, 2), jnp.float32)
+    rngs = jnp.stack([jax.random.PRNGKey(21), jax.random.PRNGKey(22)])
+
+    state = create_net_state(model, tx, jax.random.PRNGKey(23), x0[0])
+    single = make_gat_train_step(model, tx, moe_aux_weight=0.1)
+    s_seq = jax.tree_util.tree_map(jnp.copy, state)
+    for k in range(2):
+        s_seq, logs_seq = single(s_seq, x0[k], ys[k], ms[k], rngs[k])
+
+    mega = make_gat_megastep(model, tx, moe_aux_weight=0.1)
+    s_mega, logs_mega = mega(
+        jax.tree_util.tree_map(jnp.copy, state), x0, ys, ms, rngs)
+    np.testing.assert_allclose(
+        float(logs_mega["loss"]), float(logs_seq["loss"]), rtol=1e-5)
+    a, b = (jax.tree_util.tree_leaves(s.params) for s in (s_seq, s_mega))
+    for la, lb in zip(a, b):
+        np.testing.assert_allclose(la, lb, atol=1e-6)
+
+
 def test_moe_export_cli_roundtrip(tmp_path):
     """MoE experiment -> artifact: config-driven rebuild carries
     MOE_EXPERTS, the batch axis auto-pins (static routing shapes), and
