@@ -197,6 +197,58 @@ def test_shard_tree_moe_ep_targets_only_expert_leaves():
     assert {s.data.nbytes for s in inc.addressable_shards} == {inc.nbytes}
 
 
+def test_ep_composes_with_tp_mesh():
+    """EP (experts over `data`) + TP (wide conv kernels over `model`) in
+    one placement: a full MoE-UNet train step on the (4, 2) mesh matches
+    the replicated single-program numerics."""
+    from extended_gan_tpu.models.unet_model import UnetModel
+    from extended_gan_tpu.parallel.mesh import shard_net_state_tp
+    from extended_gan_tpu.train.gat_trainer import make_gat_train_step
+    from extended_gan_tpu.train.optim import make_optimizer
+    from extended_gan_tpu.train.state import create_net_state
+
+    model = UnetModel(
+        image_width=16, image_height=16, n_vertices=2, time_steps=4,
+        kernels_per_layer=1, moe_experts=4,
+    )
+    tx = make_optimizer("sgd", 1e-2)
+    x = jax.random.normal(jax.random.PRNGKey(30), (8, 16, 16, 4, 2))
+    y = jnp.zeros_like(x)
+    mask = jnp.ones((8,), jnp.float32)
+    rng = jax.random.PRNGKey(31)
+    state = create_net_state(model, tx, jax.random.PRNGKey(32), x[:2])
+    step = make_gat_train_step(model, tx, moe_aux_weight=0.01)
+
+    s_ref, logs_ref = step(
+        jax.tree_util.tree_map(jnp.copy, state), x, y, mask, rng)
+
+    mesh = MeshContext.create(data=4, model=2)
+    s_par = mesh.put_replicated(jax.tree_util.tree_map(jnp.copy, state))
+    s_par = shard_net_state_tp(s_par, mesh, min_channels=256)
+    s_par = s_par.replace(
+        params=shard_tree_moe_ep(s_par.params, mesh, 4),
+        opt_state=shard_tree_moe_ep(s_par.opt_state, mesh, 4),
+    )
+    xb, yb, mb = mesh.put_batch(np.asarray(x), np.asarray(y),
+                                np.asarray(mask))
+    s_par, logs_par = step(s_par, xb, yb, mb, rng)
+    np.testing.assert_allclose(
+        float(logs_par["loss"]), float(logs_ref["loss"]), rtol=1e-5)
+    # 5e-4: the repo-wide sharded-vs-replicated param tolerance
+    # (tests/test_data_parallel.py:47) — f32 reduction-order differs
+    # across the partitioned grad accumulations
+    for la, lb in zip(jax.tree_util.tree_leaves(s_ref.params),
+                      jax.tree_util.tree_leaves(s_par.params)):
+        np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                                   atol=5e-4)
+    # the expert leaves kept (at least) their EP sharding through the
+    # update — jit's output-sharding inference may shard them FURTHER
+    # over the model axis, so assert the 1/D upper bound, not equality
+    moe = s_par.params["unet"]["moe"]
+    per = max(s.data.nbytes for s in moe["w1"].addressable_shards)
+    assert per <= moe["w1"].nbytes // 4
+
+
 def test_moe_composes_with_megastep():
     """K scanned MoE steps == K sequential single steps (same rngs) —
     the aux-loss plumbing survives the lax.scan megastep wrapper.
