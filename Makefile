@@ -29,6 +29,7 @@ bench-serving-loopback:
 probe-ablations:
 	python scripts/probe_fused_prop.py f32 32
 	python scripts/probe_packed_g.py f32 32
+	python scripts/probe_moe.py
 
 # refresh BASELINE_DERIVATION.json (derived V100 denominators for bench.py)
 derive-baseline:
