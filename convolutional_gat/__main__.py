@@ -33,6 +33,9 @@ def main():
                              "devices / model-axis)")
     parser.add_argument("--model-axis", type=int, default=1,
                         help="mesh tensor-parallel axis size")
+    parser.add_argument("--fsdp", action="store_true",
+                        help="ZeRO-shard params + optimizer moments over "
+                             "the data axis (config key FSDP)")
     parser.add_argument("--spatial", action="store_true",
                         help="stripe the frame-width axis over the model "
                              "axis (SP; params replicated)")
@@ -96,6 +99,7 @@ def main():
             max_batches=args.max_batches,
             data_axis=args.data_axis,
             model_axis=args.model_axis,
+            fsdp=args.fsdp,
             megastep=args.megastep,
             use_pallas=args.use_pallas,
             moe_experts=args.moe_experts,
@@ -117,6 +121,7 @@ def main():
             profile=args.profile or None,
             profile_trace_dir=args.profile_trace_dir or None,
             spatial=args.spatial or None,
+            fsdp=args.fsdp or None,
             megastep=args.megastep or None,
             use_pallas=args.use_pallas,
             moe_experts=args.moe_experts or None,

@@ -27,6 +27,13 @@ def main():
                         help="mesh tensor-parallel axis size (shards wide "
                              "discriminator conv kernels + Adam moments)")
     parser.add_argument("--tp-min-channels", type=int, default=256)
+    parser.add_argument("--fsdp", action="store_true",
+                        help="ZeRO-shard params + Adam moments over the "
+                             "data axis (XLA derives the all-gather/"
+                             "reduce-scatter schedule)")
+    parser.add_argument("--fsdp-min-size", type=int, default=4096,
+                        help="leaves under this many elements stay "
+                             "replicated under --fsdp")
     parser.add_argument("--spatial", action="store_true",
                         help="shard the frame-height axis over the model "
                              "axis (SP; params replicated, XLA inserts "
@@ -88,6 +95,8 @@ def main():
         data_axis=args.data_axis,
         model_axis=args.model_axis,
         tp_min_channels=args.tp_min_channels,
+        fsdp=args.fsdp,
+        fsdp_min_size=args.fsdp_min_size,
         spatial=args.spatial,
         megastep=args.megastep,
         fused_disc=args.fused_disc,

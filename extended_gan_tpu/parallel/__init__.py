@@ -6,6 +6,10 @@ from .mesh import (
     cross_replica_mean,
     local_batch_size,
 )
+from .fsdp import (
+    shard_params_fsdp,
+    shard_net_state_fsdp,
+)
 from .pipeline import (
     make_pipeline_apply,
     make_baseline_gat_pipeline,
@@ -23,6 +27,8 @@ __all__ = [
     "initialize_distributed",
     "shard_params_tp",
     "shard_net_state_tp",
+    "shard_params_fsdp",
+    "shard_net_state_fsdp",
     "cross_replica_mean",
     "local_batch_size",
     "make_pipeline_apply",

@@ -92,6 +92,8 @@ def train(
     data_axis: int | None = None,
     model_axis: int = 1,
     tp_min_channels: int = 256,
+    fsdp: bool = False,
+    fsdp_min_size: int = 4096,
     spatial: bool = False,
     packed_g: bool | None = None,
     megastep: int = 0,
@@ -153,6 +155,14 @@ def train(
                 d_x=shard_net_state_tp(s.d_x, mesh, tp_min_channels),
                 d_y=shard_net_state_tp(s.d_y, mesh, tp_min_channels),
             )
+        if fsdp and mesh.n_data > 1:
+            from ..parallel import shard_net_state_fsdp
+
+            s = s.replace(**{
+                net: shard_net_state_fsdp(
+                    getattr(s, net), mesh, fsdp_min_size)
+                for net in ("g_xy", "g_yx", "d_x", "d_y")
+            })
         return s
 
     states = place(states)

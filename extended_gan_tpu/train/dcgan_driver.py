@@ -92,6 +92,8 @@ def train(
     data_axis: int | None = None,
     model_axis: int = 1,
     tp_min_channels: int = 256,
+    fsdp: bool = False,
+    fsdp_min_size: int = 4096,
     spatial: bool = False,
     megastep: int = 0,
     fused_disc: bool = False,
@@ -158,9 +160,19 @@ def train(
                 fd=shard_net_state_tp(s.fd, mesh, tp_min_channels),
                 td=shard_net_state_tp(s.td, mesh, tp_min_channels),
             )
+        if fsdp and mesh.n_data > 1:
+            from ..parallel import shard_net_state_fsdp
+
+            s = s.replace(
+                g=shard_net_state_fsdp(s.g, mesh, fsdp_min_size),
+                fd=shard_net_state_fsdp(s.fd, mesh, fsdp_min_size),
+                td=shard_net_state_fsdp(s.td, mesh, fsdp_min_size),
+            )
         return s
 
     states = place(states)
+    if fsdp and mesh.n_data > 1:
+        print("[fsdp] params + Adam moments ZeRO-sharded over the data axis")
     if fused_disc:
         print("[fused-disc] doubled-batch discriminator passes "
               "(mixed real+fake BN statistics)")

@@ -219,6 +219,8 @@ def train(
     data_axis: int | None = None,
     model_axis: int = 1,
     tp_min_channels: int = 256,
+    fsdp: bool = False,
+    fsdp_min_size: int = 4096,
     spatial: bool = False,
     use_pallas: bool | None = None,
     megastep: int = 0,
@@ -302,6 +304,10 @@ def train(
             from ..parallel import shard_net_state_tp
 
             s = shard_net_state_tp(s, mesh, tp_min_channels)
+        if fsdp and mesh.n_data > 1:
+            from ..parallel import shard_net_state_fsdp
+
+            s = shard_net_state_fsdp(s, mesh, fsdp_min_size)
         if moe_experts and mesh.n_data > 1 \
                 and moe_experts % mesh.n_data == 0:
             # EP: each data-axis device holds E/D experts (+ moments)

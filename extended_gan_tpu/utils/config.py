@@ -53,6 +53,8 @@ class ExperimentConfig:
     shuffle_mode: str = "batch"  # "batch" (reference) | "global" mixing
     megastep: int = 0  # K>1: K train steps fused into one XLA program
     spatial: bool = False  # SP: stripe the frame axis over model_axis
+    fsdp: bool = False  # ZeRO: shard params + moments over the data axis
+    fsdp_min_size: int = 4096  # smaller leaves stay replicated
     moe_experts: int = 0  # E>0: Switch-MoE bottleneck (unet families);
     # expert weights shard over the data axis when it divides E (EP)
     moe_aux_weight: float = 0.01  # load-balance aux-loss weight
