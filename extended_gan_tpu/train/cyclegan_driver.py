@@ -166,6 +166,10 @@ def train(
         return s
 
     states = place(states)
+    if fsdp and mesh.n_data <= 1:
+        print("[fsdp] requested but the mesh data axis is 1 — nothing to "
+              "shard (FSDP shards intra-slice over the data axis; on a "
+              "hybrid mesh put DP on 'data', not only 'dcn')")
 
     out_dir = out_dir or os.path.join(
         os.path.dirname(__file__), "..", "..", "cycle_gan")

@@ -173,6 +173,10 @@ def train(
     states = place(states)
     if fsdp and mesh.n_data > 1:
         print("[fsdp] params + Adam moments ZeRO-sharded over the data axis")
+    elif fsdp:
+        print("[fsdp] requested but the mesh data axis is 1 — nothing to "
+              "shard (FSDP shards intra-slice over the data axis; on a "
+              "hybrid mesh put DP on 'data', not only 'dcn')")
     if fused_disc:
         print("[fused-disc] doubled-batch discriminator passes "
               "(mixed real+fake BN statistics)")
