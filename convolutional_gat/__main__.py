@@ -36,6 +36,10 @@ def main():
     parser.add_argument("--fsdp", action="store_true",
                         help="ZeRO-shard params + optimizer moments over "
                              "the data axis (config key FSDP)")
+    parser.add_argument("--fsdp-min-size", type=int, default=None,
+                        help="smallest leaf (elements) --fsdp shards; "
+                             "smaller leaves stay replicated (config key "
+                             "FSDP_MIN_SIZE, default 4096)")
     parser.add_argument("--spatial", action="store_true",
                         help="stripe the frame-width axis over the model "
                              "axis (SP; params replicated)")
@@ -50,6 +54,16 @@ def main():
                              "MOE_EXPERTS); with a data axis that divides "
                              "E, expert weights+moments shard over it "
                              "(expert parallelism)")
+    parser.add_argument("--pipeline-stages", type=int, default=0,
+                        help="S>1: GPipe pipeline parallelism over the "
+                             "model axis for the stacked GAT families "
+                             "(model-type baseline) — each device holds "
+                             "1/S of the params (config key "
+                             "PIPELINE_STAGES)")
+    parser.add_argument("--pp-microbatches", type=int, default=0,
+                        help="microbatches per PP step (0 = 2*S; must "
+                             "divide the train batch; config key "
+                             "PP_MICROBATCHES)")
     parser.add_argument("--moe-aux-weight", type=float, default=0.01,
                         help="load-balance aux-loss weight for --moe-"
                              "experts (config key MOE_AUX_WEIGHT)")
@@ -100,10 +114,13 @@ def main():
             data_axis=args.data_axis,
             model_axis=args.model_axis,
             fsdp=args.fsdp,
+            fsdp_min_size=args.fsdp_min_size or 4096,
             megastep=args.megastep,
             use_pallas=args.use_pallas,
             moe_experts=args.moe_experts,
             moe_aux_weight=args.moe_aux_weight,
+            pipeline_stages=args.pipeline_stages,
+            pp_microbatches=args.pp_microbatches,
             profile=args.profile,
             profile_trace_dir=args.profile_trace_dir,
         )
@@ -122,9 +139,12 @@ def main():
             profile_trace_dir=args.profile_trace_dir or None,
             spatial=args.spatial or None,
             fsdp=args.fsdp or None,
+            fsdp_min_size=args.fsdp_min_size,
             megastep=args.megastep or None,
             use_pallas=args.use_pallas,
             moe_experts=args.moe_experts or None,
+            pipeline_stages=args.pipeline_stages or None,
+            pp_microbatches=args.pp_microbatches or None,
         )
         if args.model_axis != 1:
             overrides["model_axis"] = args.model_axis

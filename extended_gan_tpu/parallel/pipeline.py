@@ -163,6 +163,66 @@ def split_baseline_gat_stages(params: Any) -> list:
     return [{"gat": params[n]} for n in names]
 
 
+def shard_pp_tree(tree: Any, mesh: MeshContext, n_stages: int):
+    """Place a PP state tree: leaves carrying the leading stage axis
+    (``shape[0] == n_stages``) shard over ``model``; everything else
+    (optimizer step counters, scalars) replicates. Used both at state
+    creation and when re-placing a restored checkpoint (resume)."""
+    stage = NamedSharding(mesh.mesh, P("model"))
+    rep = NamedSharding(mesh.mesh, P())
+    return jax.tree_util.tree_map(
+        lambda a: jax.device_put(
+            a, stage if getattr(a, "ndim", 0) >= 1
+            and a.shape[0] == n_stages else rep),
+        tree,
+    )
+
+
+class BaselineGatPP:
+    """Driver-facing PP bundle for the stacked GAT families.
+
+    Wraps :func:`make_baseline_gat_pipeline` with what a TRAINING run
+    needs beyond a forward: canonical<->stacked param conversion (so
+    ``model.msgpack`` artifacts stay loadable by compare_models /
+    create_plots exactly like non-PP runs) and a
+    ``forward(params, x) -> y_hat`` closure that plugs into the shared
+    train/eval step bodies (gat_trainer ``forward_override``).
+
+    Launch: ``python -m convolutional_gat train --pipeline-stages S``
+    (config key PIPELINE_STAGES); S must equal the mesh model-axis size
+    and the model's stage count (BaselineModel: 2).
+    """
+
+    def __init__(self, model, mesh: MeshContext, n_microbatches: int):
+        self.mesh = mesh
+        self.n_stages = mesh.mesh.shape["model"]
+        self.n_microbatches = int(n_microbatches)
+        self._apply, self._prepare = make_baseline_gat_pipeline(model, mesh)
+        self._layer_names: list | None = None
+
+    def prepare(self, params: Any):
+        """Canonical flax params -> stage-stacked, stage-sharded params."""
+        self._layer_names = list(params.keys())
+        return self._prepare(params)
+
+    def unprepare(self, stacked: Any) -> dict:
+        """Stage-stacked params -> the canonical flax dict (for
+        checkpoint/model.msgpack artifacts)."""
+        names = self._layer_names or [
+            f"layer_{i}" for i in range(self.n_stages)
+        ]
+        return {
+            n: jax.tree_util.tree_map(lambda a: a[i], stacked)["gat"]
+            for i, n in enumerate(names)
+        }
+
+    def forward(self, params: Any, x: jax.Array) -> jax.Array:
+        return self._apply(params, x, self.n_microbatches)
+
+    def place(self, tree: Any):
+        return shard_pp_tree(tree, self.mesh, self.n_stages)
+
+
 def make_baseline_gat_pipeline(model, mesh: MeshContext):
     """Pipeline the reference BaselineModel across the ``model`` axis.
 
@@ -196,12 +256,25 @@ def make_baseline_gat_pipeline(model, mesh: MeshContext):
             )
         return shard_stage_params(stack_stage_params(stages), mesh)
 
+    dp_axes = ("dcn", "data") if "dcn" in mesh.mesh.axis_names else ("data",)
+    dp = 1
+    for a in dp_axes:
+        dp *= mesh.mesh.shape[a]
+
     def apply(stacked, x, n_microbatches: int):
         b, h, w, t, v = x.shape
         xs = x.reshape(b, h * w * t, v).transpose(0, 2, 1)  # (B, V, F)
+        # pad to the PP quantum (microbatches x DP shards) so eval/viz
+        # tails of any size run through the same pipelined program; the
+        # forward is elementwise-independent across batch, so zero rows
+        # are inert and sliced off below
+        pad = (-b) % (n_microbatches * dp)
+        if pad:
+            xs = jnp.concatenate(
+                [xs, jnp.zeros((pad,) + xs.shape[1:], xs.dtype)], axis=0)
         xs = microbatch(xs, n_microbatches)
         ys = pipe(stacked, xs)
-        y = unmicrobatch(ys)
+        y = unmicrobatch(ys)[:b]
         return jnp.tanh(y.reshape(b, h, w, t, v))
 
     return apply, prepare

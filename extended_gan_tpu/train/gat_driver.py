@@ -67,6 +67,7 @@ def train_single_epoch(
     init_running: tuple[float, int] = (0.0, 0),
     megastep_fn=None,
     megastep_k: int = 0,
+    save_params_fn=None,
 ):
     """== convolutional_gat/train.py:94-155.
 
@@ -183,7 +184,10 @@ def train_single_epoch(
             print("Saving model.")
             save_model(
                 os.path.join(output_path, "model.msgpack"),
-                state.params,
+                # PP hands a stacked->canonical converter here so the
+                # artifact stays loadable by compare_models/create_plots
+                save_params_fn(state.params) if save_params_fn
+                else state.params,
                 state.batch_stats,
             )
     return state, test_result, None
@@ -226,6 +230,8 @@ def train(
     megastep: int = 0,
     moe_experts: int = 0,
     moe_aux_weight: float = 0.01,
+    pipeline_stages: int = 0,
+    pp_microbatches: int = 0,
     profile: bool = False,
     profile_trace_dir: str = "",
     **_ignored,
@@ -244,6 +250,26 @@ def train(
     bench geometry with exact-f32 numerics, BENCH_NOTES round 3), OFF
     elsewhere (the CPU fallback is interpret-mode, far slower than the
     unfused XLA path). Pass an explicit True/False to override."""
+    if pipeline_stages > 1:
+        # PP (config key PIPELINE_STAGES): GPipe stages over the model
+        # axis for the stacked GAT families (parallel/pipeline.py). PP
+        # spends the model axis, so it excludes TP and SP; the megastep's
+        # scan-of-shard_map composition is not offered on this driver
+        # path (launch PP xor megastep).
+        if model_type not in ("baseline",):
+            raise ValueError(
+                "pipeline_stages covers the stacked GAT families "
+                f"(model_type 'baseline'); got {model_type!r}")
+        if spatial or megastep or moe_experts:
+            raise ValueError(
+                "pipeline_stages does not compose with spatial/megastep/"
+                "moe_experts on this driver path")
+        if model_axis not in (1, pipeline_stages):
+            raise ValueError(
+                f"model_axis {model_axis} conflicts with pipeline_stages "
+                f"{pipeline_stages} (PP owns the model axis)")
+        model_axis = pipeline_stages
+        tp_min_channels = 1 << 30  # PP and TP both spend the model axis
     if spatial and model_axis > 1 and tp_min_channels <= 8192:
         tp_min_channels = 1 << 30  # SP and TP both spend the model axis
     if use_pallas is None:
@@ -298,19 +324,49 @@ def train(
                   jnp.float32),
     )
 
+    pp = None
+    if pipeline_stages > 1:
+        from ..parallel.pipeline import BaselineGatPP
+
+        mb = pp_microbatches or 2 * pipeline_stages
+        for name, bs in (("train_batch_size", train_batch_size),
+                         ("test_batch_size", test_batch_size)):
+            if bs % mb:
+                raise ValueError(
+                    f"{name} {bs} not divisible by pp_microbatches {mb}")
+            if (bs // mb) % mesh.n_data:
+                # each microbatch is itself DP-sharded over the data axis
+                # (pipeline.py in_specs P(None, 'data'))
+                raise ValueError(
+                    f"per-microbatch size {bs // mb} ({name} {bs} / "
+                    f"{mb} microbatches) not divisible by the mesh data "
+                    f"axis {mesh.n_data}")
+        pp = BaselineGatPP(model, mesh, mb)
+        # canonical params -> stage-stacked + stage-sharded; optimizer
+        # moments re-initialized on the stacked tree (zeros — nothing
+        # learned yet) so they inherit the stage sharding
+        pp_params = pp.prepare(state.params)
+        state = state.replace(params=pp_params,
+                              opt_state=tx.init(pp_params))
+        print(f"[pp] {pipeline_stages} pipeline stages x {mb} "
+              "microbatches; each model-axis device holds 1/"
+              f"{pipeline_stages} of the params")
+
     def place(s):
+        if pp is not None:
+            # stage-stacked leaves over 'model', scalars replicated
+            return pp.place(s)
         s = mesh.put_replicated(s)
         if mesh.n_model > 1:
             from ..parallel import shard_net_state_tp
 
             s = shard_net_state_tp(s, mesh, tp_min_channels)
-        if fsdp and mesh.n_data > 1:
-            from ..parallel import shard_net_state_fsdp
-
-            s = shard_net_state_fsdp(s, mesh, fsdp_min_size)
         if moe_experts and mesh.n_data > 1 \
                 and moe_experts % mesh.n_data == 0:
-            # EP: each data-axis device holds E/D experts (+ moments)
+            # EP BEFORE FSDP: each data-axis device holds E/D experts
+            # (+ moments), and fsdp.py's skip rule then leaves the
+            # already-data-sharded expert stacks alone instead of
+            # resharding them (fsdp.py:55)
             from ..parallel.expert import shard_tree_moe_ep
 
             s = s.replace(
@@ -318,16 +374,26 @@ def train(
                 opt_state=shard_tree_moe_ep(
                     s.opt_state, mesh, moe_experts),
             )
+        if fsdp and mesh.n_data > 1:
+            from ..parallel import shard_net_state_fsdp
+
+            s = shard_net_state_fsdp(s, mesh, fsdp_min_size)
         return s
 
     state = place(state)
+    if fsdp and mesh.n_data <= 1:
+        print("[fsdp] requested but the mesh data axis is 1 — nothing to "
+              "shard (FSDP shards intra-slice over the data axis; on a "
+              "hybrid mesh put DP on 'data', not only 'dcn')")
     print(f"Number of parameters: {param_count(state)}")
     print(f"Using mapping: {model.mapping_type}")
 
     aux_w = moe_aux_weight if moe_experts else 0.0
+    fwd_override = pp.forward if pp is not None else None
     step = make_gat_train_step(model, tx, remat=remat,
-                               criterion=criterion, moe_aux_weight=aux_w)
-    eval_step = make_gat_eval_step(model)
+                               criterion=criterion, moe_aux_weight=aux_w,
+                               forward_override=fwd_override)
+    eval_step = make_gat_eval_step(model, forward_override=fwd_override)
     megastep_fn = None
     if megastep > 1:
         from .gat_trainer import make_gat_megastep
@@ -431,6 +497,7 @@ def train(
                 init_running=(float(mid["loss"]), int(mid["total"]))
                 if skip else (0.0, 0),
                 megastep_fn=megastep_fn, megastep_k=megastep,
+                save_params_fn=pp.unprepare if pp is not None else None,
             )
             if mid_out is not None:
                 # step-granular preemption: snapshot inside the epoch

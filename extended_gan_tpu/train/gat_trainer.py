@@ -34,14 +34,22 @@ from .state import NetState
 
 def _make_gat_step_body(model, tx, *, remat: bool = False,
                         criterion: str = "mse",
-                        moe_aux_weight: float = 0.0):
+                        moe_aux_weight: float = 0.0,
+                        forward_override=None):
     """The un-jitted single-step update shared by
     :func:`make_gat_train_step` (one program per step, donated state) and
     :func:`make_gat_megastep` (K steps scanned into one program).
 
     ``moe_aux_weight > 0`` (MoE models, models/moe.py): the sowed
     ``"losses"`` collection (Switch load-balance aux) is made mutable and
-    its sum joins the loss with that weight."""
+    its sum joins the loss with that weight.
+
+    ``forward_override(params, x) -> y_hat`` swaps the forward pass while
+    keeping every other piece (loss, sparsity bonus, masking, optimizer
+    update, running-loss accumulators) byte-identical — how the
+    pipeline-parallel path (parallel/pipeline.py) trains with the shared
+    update semantics. Override forwards carry no batch_stats / dropout /
+    sowed-aux plumbing (true of the stacked GAT families PP covers)."""
     if criterion not in ("mse", "l1"):
         raise ValueError(
             f"unsupported criterion {criterion!r}; choose 'mse' or 'l1'"
@@ -67,14 +75,18 @@ def _make_gat_step_body(model, tx, *, remat: bool = False,
         m = mask.reshape((-1,) + (1,) * (y.ndim - 1))
 
         def loss_fn(params):
-            has_bs = bool(state.batch_stats)
-            out = fwd(params, state.batch_stats, x, rng, has_bs)
-            if has_bs or moe_aux_weight:
-                y_hat, updates = out
-                new_bs = updates.get("batch_stats", state.batch_stats)
-            else:
-                y_hat, updates = out, {}
+            if forward_override is not None:
+                y_hat, updates = forward_override(params, x), {}
                 new_bs = state.batch_stats
+            else:
+                has_bs = bool(state.batch_stats)
+                out = fwd(params, state.batch_stats, x, rng, has_bs)
+                if has_bs or moe_aux_weight:
+                    y_hat, updates = out
+                    new_bs = updates.get("batch_stats", state.batch_stats)
+                else:
+                    y_hat, updates = out, {}
+                    new_bs = state.batch_stats
             n_el = jnp.maximum(jnp.sum(mask), 1.0) * jnp.float32(y[0].size)
             err = ((y_hat - y) ** 2 if criterion == "mse"
                    else jnp.abs(y_hat - y))
@@ -102,7 +114,8 @@ def _make_gat_step_body(model, tx, *, remat: bool = False,
 
 def make_gat_train_step(model, tx, *, remat: bool = False,
                         criterion: str = "mse",
-                        moe_aux_weight: float = 0.0):
+                        moe_aux_weight: float = 0.0,
+                        forward_override=None):
     """One fused XLA program per train step (donated state).
 
     remat=True rematerializes the forward during the backward pass
@@ -114,7 +127,8 @@ def make_gat_train_step(model, tx, *, remat: bool = False,
     (the only one the reference's configs use) or "l1". Unknown names
     raise — silently training MSE under another label is worse."""
     body = _make_gat_step_body(model, tx, remat=remat, criterion=criterion,
-                               moe_aux_weight=moe_aux_weight)
+                               moe_aux_weight=moe_aux_weight,
+                               forward_override=forward_override)
     return functools.partial(jax.jit, donate_argnums=(0,))(body)
 
 
@@ -145,14 +159,20 @@ def make_gat_megastep(model, tx, *, remat: bool = False,
     return wrap_megastep(body)
 
 
-def make_gat_eval_step(model):
+def make_gat_eval_step(model, forward_override=None):
+    """``forward_override(params, x) -> y_hat`` swaps the forward (the PP
+    path) while the metric math stays shared."""
+
     @functools.partial(jax.jit, static_argnames=("power",))
     def eval_step(state: NetState, x, y, mask, threshold, normalizing_max,
                   *, power: float = 1.0):
-        variables = {"params": state.params}
-        if state.batch_stats:
-            variables["batch_stats"] = state.batch_stats
-        y_hat = model.apply(variables, x, train=False)
+        if forward_override is not None:
+            y_hat = forward_override(state.params, x)
+        else:
+            variables = {"params": state.params}
+            if state.batch_stats:
+                variables["batch_stats"] = state.batch_stats
+            y_hat = model.apply(variables, x, train=False)
         inv = 1.0 / power
         y_p = y ** inv if power != 1.0 else y
         y_hat_p = jnp.maximum(y_hat, 0.0) ** inv if power != 1.0 else y_hat

@@ -58,6 +58,11 @@ class ExperimentConfig:
     moe_experts: int = 0  # E>0: Switch-MoE bottleneck (unet families);
     # expert weights shard over the data axis when it divides E (EP)
     moe_aux_weight: float = 0.01  # load-balance aux-loss weight
+    pipeline_stages: int = 0  # S>1: GPipe PP over the model axis
+    # (stacked GAT families); each device holds 1/S of the params
+    pp_microbatches: int = 0  # microbatches per PP step (0 = 2*S)
+    resident: bool = False  # device-resident dataset: archive in HBM,
+    # on-device window gathers (requires megastep; kmni-family datasets)
     # fused Pallas kernels (GAT attention, SmaAt-UNet DSC);
     # None = auto (ON on TPU, OFF elsewhere)
     use_pallas: bool | None = None

@@ -215,3 +215,63 @@ def test_pp_compiled_program_uses_collective_permute():
         r"= \S+ collective-permute\(|= \S+ collective-permute-start\(",
         txt))
     assert n >= 1, "pipelined program must hop activations via ppermute"
+
+
+# ------------------------------------------------------- driver integration
+
+def test_pp_driver_trains_baseline_end_to_end(tmp_path):
+    """PP as a PRODUCT feature (VERDICT r3 #6): a user launches pipelined
+    training the way they launch FSDP — `--pipeline-stages 2` on the
+    conv-GAT driver. Checks: history written, params stage-stacked on the
+    model axis, and the saved model.msgpack artifact is CANONICAL (same
+    tree as a non-PP run — loadable by compare_models/create_plots)."""
+    import flax.serialization
+
+    from extended_gan_tpu.train.gat_driver import train
+
+    state, history = train(
+        model_type="baseline", dataset="synthetic", epochs=1,
+        train_batch_size=8, test_batch_size=8, max_batches=3,
+        pipeline_stages=2, pp_microbatches=2, downsample_size=(8, 8),
+        output_path=str(tmp_path), use_pallas=False, plot=False,
+    )
+    assert (tmp_path / "history.json").exists()
+    assert len(history["val_loss"]) == 1
+    assert np.isfinite(history["train_loss"][0])
+    for leaf in jax.tree_util.tree_leaves(state.params):
+        assert leaf.shape[0] == 2  # stage-stacked
+    raw = flax.serialization.msgpack_restore(
+        (tmp_path / "model.msgpack").read_bytes())
+    assert set(raw["params"].keys()) == {"hidden_layer", "output_layer"}
+
+
+def test_pp_driver_epoch_matches_sequential_driver(tmp_path):
+    """Same seed + synthetic data, 1 epoch: the PP driver run and the
+    plain run produce the same losses (the pipelined forward is the same
+    math; microbatching is batch-slicing of an elementwise-independent
+    forward)."""
+    from extended_gan_tpu.train.gat_driver import train
+
+    common = dict(
+        model_type="baseline", dataset="synthetic", epochs=1,
+        train_batch_size=8, test_batch_size=8, max_batches=2,
+        downsample_size=(8, 8), use_pallas=False, plot=False, seed=11,
+    )
+    _, h_pp = train(output_path=str(tmp_path / "pp"),
+                    pipeline_stages=2, pp_microbatches=2, **common)
+    _, h_seq = train(output_path=str(tmp_path / "seq"), **common)
+    np.testing.assert_allclose(h_pp["train_loss"], h_seq["train_loss"],
+                               rtol=2e-5)
+    np.testing.assert_allclose(h_pp["val_loss"], h_seq["val_loss"],
+                               rtol=2e-5)
+
+
+def test_pp_driver_rejects_bad_compositions():
+    from extended_gan_tpu.train.gat_driver import train
+
+    with pytest.raises(ValueError, match="stacked GAT families"):
+        train(model_type="temporal", dataset="synthetic",
+              pipeline_stages=2, epochs=1)
+    with pytest.raises(ValueError, match="does not compose"):
+        train(model_type="baseline", dataset="synthetic",
+              pipeline_stages=2, megastep=8, epochs=1)
