@@ -72,6 +72,12 @@ FALLBACK = {
               "flops_per_step_b32": 104.9e9},
     "conv_gat": {"central_sps": 79.6, "generous_sps": 252.8,
                  "flops_per_step_b32": 18.71e9},
+    # matched-batch denominators for the composed megastep-K64-b128-bf16
+    # mode (same derivation pipeline at batch=128)
+    "dcgan_b128": {"central_sps": 22.8, "generous_sps": 37.5,
+                   "flops_per_step_b32": 418.7e9},
+    "conv_gat_b128": {"central_sps": 37.6, "generous_sps": 66.9,
+                      "flops_per_step_b32": 74.8e9},
 }
 TARGET_MULTIPLIER = 5.0
 V5E_BF16_PEAK = 197e12  # TF/s, v5e MXU peak (bf16)
@@ -84,7 +90,9 @@ def _load_derivation():
     try:
         with open(path) as f:
             d = json.load(f)
-        for w in ("dcgan", "conv_gat"):
+        for w in ("dcgan", "conv_gat", "dcgan_b128", "conv_gat_b128"):
+            if w not in d:
+                continue  # pre-round-4 derivation without b128 rows
             out[w]["central_sps"] = \
                 d[w]["v100_model"]["central"]["steps_per_sec"]
             out[w]["generous_sps"] = \
@@ -286,6 +294,208 @@ def bench_gat_pipeline(batch=32, n_steps=25, hw=20):
     return n / (time.perf_counter() - t0)
 
 
+# ------------------------------------------- real input paths, amortized
+
+def bench_dcgan_pipeline_megastep(batch=32, K=64, n_programs=3):
+    """VERDICT r3 #1: the disk-backed path THROUGH the megastep — K loader
+    batches ride ONE staged transfer + ONE program (``_megafeed`` +
+    ``put_megabatch`` + ``make_dcgan_megastep``), so both the ~29 ms
+    per-transfer relay RTT and the per-program dispatch amortize K-ways.
+    Returns true steps/sec of full-K groups (time-to-data)."""
+    import jax
+
+    from extended_gan_tpu.data.streaming import get_h5_loaders
+    from extended_gan_tpu.data.synthetic import ensure_synthetic_h5
+    from extended_gan_tpu.parallel import MeshContext
+    from extended_gan_tpu.train.dcgan_driver import (
+        DEFAULT_PARAMS,
+        build_dcgan,
+    )
+    from extended_gan_tpu.train.dcgan_trainer import (
+        _megafeed,
+        make_dcgan_megastep,
+    )
+
+    mesh = MeshContext.create(data=1, model=1)
+    models, txs, states, _ = build_dcgan(dict(DEFAULT_PARAMS), seed=0)
+    states = mesh.put_replicated(states)
+    mega = make_dcgan_megastep(*models, *txs)
+    n_batches = (n_programs + 1) * K + 1
+    frames = batch * n_batches + 16
+    data_dir = ensure_synthetic_h5(None, frames_train=frames,
+                                   frames_test=16, h=64, w=64)
+    loader, _ = get_h5_loaders(data_dir, batch, batch, crop=64,
+                               in_seq_len=4, out_seq_len=4, seed=1)
+    key = jax.random.PRNGKey(5)
+
+    def next_rngs(k):
+        nonlocal key
+        key, sub = jax.random.split(key)
+        return jax.random.split(sub, k)
+
+    feed = _megafeed(loader, mesh, batch, K)
+    k0, (xs, ys, ms) = next(feed)  # warm: file open + compile
+    states, logs = mega(states, xs, ys, ms, next_rngs(k0))
+    _drain(logs)
+    n = 0
+    t0 = time.perf_counter()
+    for k, staged in feed:
+        if k < K:
+            break  # ragged tail group = extra specialization; stop clean
+        xs, ys, ms = staged
+        states, logs = mega(states, xs, ys, ms, next_rngs(k))
+        n += k
+        if n >= n_programs * K:
+            break
+    _drain(logs)
+    return n / (time.perf_counter() - t0)
+
+
+def bench_gat_pipeline_megastep(batch=32, K=64, n_programs=3, hw=20):
+    """conv-GAT twin of :func:`bench_dcgan_pipeline_megastep`: KNMI-format
+    on-disk archive -> KmniLoader -> ``gat_megafeed`` (K batches per
+    staged transfer) -> ``make_gat_megastep``."""
+    import jax
+
+    from extended_gan_tpu.data.streaming import get_loaders
+    from extended_gan_tpu.data.synthetic import ensure_synthetic_kmni
+    from extended_gan_tpu.train.gat_trainer import gat_megafeed
+
+    import jax.numpy as jnp
+
+    from extended_gan_tpu.core import KeySeq
+    from extended_gan_tpu.models.registry import build_model
+    from extended_gan_tpu.parallel import MeshContext
+    from extended_gan_tpu.train.gat_trainer import make_gat_megastep
+    from extended_gan_tpu.train.optim import adam
+    from extended_gan_tpu.train.state import create_net_state
+
+    mesh = MeshContext.create(data=1, model=1)
+    model = build_model("temporal", image_width=hw, image_height=hw,
+                        n_vertices=6, mapping_type="conv", use_pallas=True)
+    tx = adam(1e-3, weight_decay=0.01)
+    state = create_net_state(model, tx, KeySeq(0).next(),
+                             jnp.zeros((2, hw, hw, 4, 6)))
+    state = mesh.put_replicated(state)
+    mega = make_gat_megastep(model, tx)
+    n_batches = (n_programs + 1) * K + 1
+    n_files = 8
+    frames_per_file = 16 + (batch * n_batches) // n_files
+    folder = ensure_synthetic_kmni(
+        None, n_train_files=n_files, frames_per_file=frames_per_file,
+        n_test_files=1, hw=80)
+    train_loader, _, _ = get_loaders(
+        batch, batch, folder, None, dataset="kmni",
+        downsample_size=(hw, hw), merge_nodes=False, shuffle=True, seed=1)
+    key = jax.random.PRNGKey(5)
+
+    def next_rngs(k):
+        nonlocal key
+        key, sub = jax.random.split(key)
+        return jax.random.split(sub, k)
+
+    feed = gat_megafeed(iter(train_loader), mesh, K, batch_size=batch)
+    _, _, k0, (xs, ys, ms) = next(feed)  # warm
+    state, logs = mega(state, xs, ys, ms, next_rngs(k0))
+    _drain(logs)
+    n = 0
+    t0 = time.perf_counter()
+    for _, _, k, staged in feed:
+        if k < K:
+            break
+        xs, ys, ms = staged
+        state, logs = mega(state, xs, ys, ms, next_rngs(k))
+        n += k
+        if n >= n_programs * K:
+            break
+    _drain(logs)
+    return n / (time.perf_counter() - t0)
+
+
+def bench_dcgan_pipeline_resident(batch=32, K=64, n_programs=3):
+    """VERDICT r3 #2: the device-RESIDENT input path. The archive is
+    transferred to HBM once; per program only a (K, B) int32 start array
+    moves — steady-state training never touches the host
+    (data/resident.py)."""
+    import jax
+
+    from extended_gan_tpu.data.resident import (
+        ResidentVideos,
+        make_dcgan_resident_megastep,
+    )
+    from extended_gan_tpu.data.synthetic import ensure_synthetic_h5
+    from extended_gan_tpu.parallel import MeshContext
+    from extended_gan_tpu.train.dcgan_driver import (
+        DEFAULT_PARAMS,
+        build_dcgan,
+    )
+
+    mesh = MeshContext.create(data=1, model=1)
+    models, txs, states, _ = build_dcgan(dict(DEFAULT_PARAMS), seed=0)
+    states = mesh.put_replicated(states)
+    frames = batch * ((n_programs + 1) * K) + 16
+    data_dir = ensure_synthetic_h5(None, frames_train=frames,
+                                   frames_test=16, h=64, w=64)
+    res = ResidentVideos.from_h5(data_dir + "/train", mesh, crop=64)
+    mega = make_dcgan_resident_megastep(*models, *txs)
+    progs = res.epoch_programs(jax.random.PRNGKey(2), K, batch)
+    rngs = jax.random.split(jax.random.PRNGKey(7), K)
+    states, logs = mega(states, res.video, progs[0], rngs)  # warm
+    _drain(logs)
+    n_timed = min(n_programs, progs.shape[0] - 2)  # skip warm + tail
+    t0 = time.perf_counter()
+    for i in range(1, 1 + n_timed):
+        states, logs = mega(states, res.video, progs[i], rngs)
+    _drain(logs)
+    return n_timed * K / (time.perf_counter() - t0)
+
+
+def bench_gat_pipeline_resident(batch=32, K=64, n_programs=3, hw=20):
+    import jax
+
+    from extended_gan_tpu.data.resident import (
+        ResidentVideos,
+        make_gat_resident_megastep,
+    )
+    from extended_gan_tpu.data.synthetic import ensure_synthetic_kmni
+    from extended_gan_tpu.models.registry import build_model
+    from extended_gan_tpu.parallel import MeshContext
+    from extended_gan_tpu.train.optim import adam
+    from extended_gan_tpu.train.state import create_net_state
+
+    import jax.numpy as jnp
+
+    from extended_gan_tpu.core import KeySeq
+
+    mesh = MeshContext.create(data=1, model=1)
+    model = build_model("temporal", image_width=hw, image_height=hw,
+                        n_vertices=6, mapping_type="conv", use_pallas=True)
+    tx = adam(1e-3, weight_decay=0.01)
+    state = create_net_state(model, tx, KeySeq(0).next(),
+                             jnp.zeros((2, hw, hw, 4, 6)))
+    state = mesh.put_replicated(state)
+    n_files = 8
+    frames_per_file = 16 + (batch * (n_programs + 1) * K) // n_files
+    # generate at the training geometry directly (hw=20): the resident
+    # store IS the cropped archive, and synth generation at 80x80 would
+    # cost 16x the host time for bytes the bench immediately crops away
+    folder = ensure_synthetic_kmni(
+        None, n_train_files=n_files, frames_per_file=frames_per_file,
+        n_test_files=1, hw=hw)
+    res = ResidentVideos.from_kmni(folder + "/train", mesh, crop=hw)
+    mega = make_gat_resident_megastep(model, tx, time_steps=4)
+    progs = res.epoch_programs(jax.random.PRNGKey(2), K, batch)
+    rngs = jax.random.split(jax.random.PRNGKey(7), K)
+    state, logs = mega(state, res.video, progs[0], rngs)  # warm
+    _drain(logs)
+    n_timed = min(n_programs, progs.shape[0] - 2)
+    t0 = time.perf_counter()
+    for i in range(1, 1 + n_timed):
+        state, logs = mega(state, res.video, progs[i], rngs)
+    _drain(logs)
+    return n_timed * K / (time.perf_counter() - t0)
+
+
 # -------------------------------------------------------------- megastep
 
 def _time_megastep(mega, states, margs, K, n_programs=3, trials=4,
@@ -391,26 +601,30 @@ def _mfu(flops_per_step: float, sps: float) -> dict:
     }
 
 
-def _decompose_k(t8_ms: float, t16_ms: float, flops_b32: float) -> dict:
+def _decompose_k(ta_ms: float, tb_ms: float, ka: int, kb: int,
+                 flops: float) -> dict:
     """Two-K linear fit: megastep-program-time(K) = overhead + K * dev.
 
     Both points use the SAME batch, so no FLOPs-scaling assumption is
     needed (the step is latency-bound and nearly flat in batch, which is
     why a batch-based fit misattributes device time to the intercept).
     Slope = true device time per step; intercept = per-program overhead
-    (the relay link's on this rig; ~10-100 us on a local attach)."""
-    dev_ms = (t16_ms - t8_ms) / 8.0
+    (the relay link's on this rig; ~10-100 us on a local attach). Round 4
+    widened the lever arm to K=16/64 (from 8/16): the slope divides the
+    timing noise by 48 steps instead of 8, so a congested capture moves
+    the device estimate ~6x less."""
+    dev_ms = (tb_ms - ta_ms) / (kb - ka)
     if dev_ms <= 0:
         return {"note": "non-monotone K timings; decomposition skipped"}
-    rate = flops_b32 / (dev_ms * 1e-3)
+    rate = flops / (dev_ms * 1e-3)
     return {
         "device_ms_per_step": round(dev_ms, 3),
         "device_tflops_est": round(rate / 1e12, 1),
         "device_mfu_vs_v5e_bf16_peak": round(rate / V5E_BF16_PEAK, 4),
-        "overhead_ms_per_program": round(max(t8_ms - 8 * dev_ms, 0.0), 2),
-        "device_steps_per_sec_est_b32": round(1e3 / dev_ms, 1),
-        "method": "megastep timed at K=8,16 (same batch); slope=device,"
-                  " intercept=link",
+        "overhead_ms_per_program": round(max(ta_ms - ka * dev_ms, 0.0), 2),
+        "device_steps_per_sec_est": round(1e3 / dev_ms, 1),
+        "method": f"megastep timed at K={ka},{kb} (same batch); "
+                  "slope=device, intercept=link",
     }
 
 
@@ -444,9 +658,6 @@ def main():
         mega = mega_fn(K=16)
         print(f"{name} megastep K16 TRUE: {1e3 / mega['median']:.3f} "
               f"ms/step (cv {mega['cv']})", file=sys.stderr)
-        mega8 = mega_fn(K=8)
-        print(f"{name} megastep K8 TRUE: {1e3 / mega8['median']:.3f} "
-              f"ms/step (cv {mega8['cv']})", file=sys.stderr)
         mega64 = mega_fn(K=64)
         print(f"{name} megastep K64 TRUE: {1e3 / mega64['median']:.3f} "
               f"ms/step (cv {mega64['cv']})", file=sys.stderr)
@@ -455,26 +666,50 @@ def main():
               f"{1e3 / mega64_bf16['median']:.3f} ms/step "
               f"(cv {mega64_bf16['cv']})", file=sys.stderr)
         flops = base[name]["flops_per_step_b32"]
-        mode, stats = max(
-            (("single", single), ("megastep_k16", mega),
-             ("megastep_k64", mega64)),
-            key=lambda kv: kv[1]["best"])
+        # the composed best-known configuration, measured as ONE config
+        # (VERDICT r3 #3): K=64 megastep x b128 x bf16, judged against
+        # the MATCHED-BATCH (b128) V100 derivation row
+        mega64_b128_bf16 = mega_fn(K=64, batch=128, precision="bf16")
+        print(f"{name} megastep K64 b128 bf16 TRUE: "
+              f"{mega64_b128_bf16['median']:.1f} steps/s "
+              f"({mega64_b128_bf16['median'] * 128:.0f} samples/s, "
+              f"cv {mega64_b128_bf16['cv']})", file=sys.stderr)
+        b128_central = base.get(f"{name}_b128", {}).get("central_sps")
+        composed = {
+            "true_sps": round(mega64_b128_bf16["median"], 1),
+            "samples_per_sec": round(
+                mega64_b128_bf16["median"] * 128, 1),
+            "cv": mega64_b128_bf16["cv"],
+        }
+        if b128_central:
+            composed["vs_baseline_b128_central"] = round(
+                mega64_b128_bf16["median"]
+                / (b128_central * TARGET_MULTIPLIER), 4)
+            composed["v100_b128_central_sps"] = b128_central
+        # two-K fit (16/64): slope = device ms/step, intercept = link.
+        # The PRIMARY verdict is computed from the DEVICE rate — the link
+        # intercept absorbs session congestion, so a congested capture
+        # moves the intercept, not the verdict (VERDICT r3 #4).
+        decomp = _decompose_k(16e3 / mega["median"],
+                              64e3 / mega64["median"], 16, 64, flops)
+        dev_sps = decomp.get("device_steps_per_sec_est")
+        end_to_end = max(single["best"], mega["best"], mega64["best"])
         results[name] = {
-            "mode": mode,
-            "best": round(stats["best"], 1),
-            "median": round(stats["median"], 1),
-            "cv": stats["cv"],
-            "trials": stats["trials"],
-            **_mfu(flops, stats["median"]),
-            **vs(name, stats["best"]),
+            "device_steps_per_sec": dev_sps,
+            **(vs(name, dev_sps) if dev_sps
+               else vs(name, end_to_end)),
+            "end_to_end_best_true_sps": round(end_to_end, 1),
+            "end_to_end_vs_baseline_central": round(
+                end_to_end / (base[name]["central_sps"]
+                              * TARGET_MULTIPLIER), 4),
+            **_mfu(flops, dev_sps or end_to_end),
             "single_true_sps": round(single["median"], 1),
             "single_b128_true_sps": round(single128["median"], 1),
             "megastep_k16_true_sps": round(mega["median"], 1),
-            "megastep_k8_true_sps": round(mega8["median"], 1),
             "megastep_k64_true_sps": round(mega64["median"], 1),
             "megastep_k64_bf16_true_sps": round(mega64_bf16["median"], 1),
-            "device_decomposition": _decompose_k(
-                8e3 / mega8["median"], 16e3 / mega["median"], flops),
+            "megastep_k64_b128_bf16": composed,
+            "device_decomposition": decomp,
         }
 
     # samples/sec grid (f32/bf16 x b32/b128, single-step true rates)
@@ -517,12 +752,12 @@ def main():
             ("packed_g", {"packed_g": True}),
         ):
             try:
-                a8 = bench_dcgan_megastep(K=8, **kw)
                 a16 = bench_dcgan_megastep(K=16, **kw)
+                a64 = bench_dcgan_megastep(K=64, **kw)
                 ablations[label] = {
                     "megastep_k16_true_sps": round(a16["median"], 1),
-                    **_decompose_k(8e3 / a8["median"],
-                                   16e3 / a16["median"], flops),
+                    **_decompose_k(16e3 / a16["median"],
+                                   64e3 / a64["median"], 16, 64, flops),
                 }
                 print(f"ablation {label}: "
                       f"{ablations[label].get('device_ms_per_step')} "
@@ -530,31 +765,53 @@ def main():
             except Exception as e:  # never lose the primary metric
                 ablations[label] = {"error": f"{type(e).__name__}: {e}"}
 
-    # real disk-backed input pipeline vs the device-resident ceiling
+    # real input paths: single-step disk feed (the round-3 shame number),
+    # the megafeed (K batches per transfer+program, VERDICT r3 #1), and
+    # the device-RESIDENT path (archive in HBM, VERDICT r3 #2) — each
+    # against the synthetic megastep-K64 ceiling
     pipeline = {}
-    try:
-        p_dcgan = bench_dcgan_pipeline()
-        pipeline["dcgan_steps_per_sec"] = round(p_dcgan, 1)
-        pipeline["dcgan_vs_synthetic"] = round(
-            p_dcgan / results["dcgan"]["single_true_sps"], 3)
-        p_gat = bench_gat_pipeline()
-        pipeline["conv_gat_steps_per_sec"] = round(p_gat, 1)
-        pipeline["conv_gat_vs_synthetic"] = round(
-            p_gat / results["conv_gat"]["single_true_sps"], 3)
-    except Exception as e:  # never lose the primary metric to an IO issue
-        pipeline["error"] = f"{type(e).__name__}: {e}"
-    print(f"pipeline-fed: {pipeline}", file=sys.stderr)
+    for wname, legs in (
+        ("dcgan", ((bench_dcgan_pipeline, "single"),
+                   (bench_dcgan_pipeline_megastep, "megastep"),
+                   (bench_dcgan_pipeline_resident, "resident"))),
+        ("conv_gat", ((bench_gat_pipeline, "single"),
+                      (bench_gat_pipeline_megastep, "megastep"),
+                      (bench_gat_pipeline_resident, "resident"))),
+    ):
+        ceiling = results[wname]["megastep_k64_true_sps"]
+        for fn, leg in legs:
+            try:
+                sps = fn()
+                key_base = (f"{wname}_steps_per_sec" if leg == "single"
+                            else f"{wname}_{leg}_steps_per_sec")
+                pipeline[key_base] = round(sps, 1)
+                pipeline[f"{wname}_{leg}_vs_synthetic_megastep"] = round(
+                    sps / ceiling, 3)
+                print(f"pipeline {wname} {leg}: {sps:.1f} steps/s "
+                      f"({sps / ceiling:.1%} of synthetic megastep)",
+                      file=sys.stderr)
+            except Exception as e:  # never lose the primary metric to IO
+                pipeline[f"{wname}_{leg}_error"] = \
+                    f"{type(e).__name__}: {e}"
+                print(f"pipeline {wname} {leg} FAILED: {e}",
+                      file=sys.stderr)
 
     dc = results["dcgan"]
-    print(json.dumps({
-        "metric": "dcgan_fused_adversarial_train_steps_per_sec_true_f32_b32",
-        "value": dc["best"],
+    payload = {
+        "metric": "dcgan_fused_adversarial_train_device_steps_per_sec_f32_b32",
+        "value": dc["device_steps_per_sec"]
+        or dc["end_to_end_best_true_sps"],
         "unit": "steps/sec",
         "vs_baseline": dc["vs_baseline_central"],
         "extra": {
             "timing_semantics": "time-to-data (device_get drain per "
-                "trial); rounds 1-2 used block_until_ready, which does "
-                "not block through the relay — see BENCH_NOTES round 3",
+                "trial). PRIMARY = device steps/s from the two-K fit "
+                "(K=16/64 megastep; slope = device, intercept = link): "
+                "the link intercept absorbs relay congestion, so the "
+                "verdict is stable across congested captures (round-3 "
+                "measured a 1.6x cross-session level shift in the "
+                "end-to-end rate for an identical program). End-to-end "
+                "TRUE rates are reported beside it.",
             "dcgan": results["dcgan"],
             "conv_gat": results["conv_gat"],
             "samples_per_sec": grid,
@@ -566,11 +823,27 @@ def main():
                 "conv_gat_v100_central_sps": base["conv_gat"]["central_sps"],
                 "conv_gat_v100_generous_sps":
                     base["conv_gat"]["generous_sps"],
+                "dcgan_v100_b128_central_sps":
+                    base.get("dcgan_b128", {}).get("central_sps"),
+                "conv_gat_v100_b128_central_sps":
+                    base.get("conv_gat_b128", {}).get("central_sps"),
                 "source": "BASELINE_DERIVATION.json "
                           "(scripts/derive_v100_baseline.py)",
             },
         },
-    }))
+    }
+    line = json.dumps(payload)
+    # the driver's capture window clips long lines (it truncated the
+    # dcgan block in round 3) — the committed file is the full record
+    latest = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "BENCH_LATEST.json")
+    try:
+        with open(latest, "w") as f:
+            f.write(line + "\n")
+    except OSError as e:
+        print(f"[bench] could not write BENCH_LATEST.json: {e}",
+              file=sys.stderr)
+    print(line)
 
 
 if __name__ == "__main__":

@@ -123,7 +123,7 @@ def _model_v100(n_issue: int, flops: float, bytes_: float) -> dict:
     }
 
 
-def _dcgan_step():
+def _dcgan_step(batch: int = 32):
     """== the reference adversarial step, same twins as the parity tests."""
     from test_e2e_torch_parity import (
         TorchFrameDiscriminator,
@@ -132,7 +132,7 @@ def _dcgan_step():
         t_,
     )
 
-    batch, ndf = 32, 64
+    ndf = 64
     tg, tfd, ttd = (TorchGenerator(4), TorchFrameDiscriminator(4, ndf),
                     TorchTemporalDiscriminator(4, ndf))
     crit = torch.nn.BCELoss()
@@ -160,11 +160,11 @@ def _dcgan_step():
     return one_step
 
 
-def _gat_step():
+def _gat_step(batch: int = 32):
     """== the reference conv-GAT step (temporal/conv, 43,936 params)."""
     from test_e2e_torch_parity import TorchGAT3D, t_
 
-    batch, hw = 32, 20
+    hw = 20
     model = TorchGAT3D(4, 6)
     opt = torch.optim.Adam(model.parameters(), lr=1e-3, weight_decay=0.01)
     crit = torch.nn.MSELoss()
@@ -186,9 +186,17 @@ def derive(costs: dict | None = None) -> dict:
     if costs is None:
         from flops_count import derive_costs
 
-        costs = derive_costs()
+        # b32 = the headline shapes; b128 backs the composed
+        # megastep-K64-b128-bf16 bench mode's MATCHED-BATCH baseline
+        costs = derive_costs(batches=(32, 128))
     result = {}
-    for workload, make in (("dcgan", _dcgan_step), ("conv_gat", _gat_step)):
+    for workload, make in (
+        ("dcgan", _dcgan_step), ("conv_gat", _gat_step),
+        ("dcgan_b128", lambda: _dcgan_step(128)),
+        ("conv_gat_b128", lambda: _gat_step(128)),
+    ):
+        if workload not in costs:
+            continue
         census = _count_kernel_ops(make())
         n_issue = census["n_kernel_ops"] + census["n_syncs"]
         flops = costs[workload]["flops"]

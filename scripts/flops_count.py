@@ -95,9 +95,17 @@ def gat_step_cost(batch: int = 32) -> dict:
     return _cost(step.lower(state, x, y, m, ks.next()).compile())
 
 
-def derive_costs() -> dict:
+def derive_costs(batches: tuple[int, ...] = (32,)) -> dict:
+    """Per-workload costs; batch sizes beyond 32 land under
+    ``<workload>_b<N>`` keys (the b128 rows back the composed
+    megastep-K64-b128-bf16 bench mode's matched-batch baseline)."""
     _force_cpu()
-    return {"dcgan": dcgan_step_cost(), "conv_gat": gat_step_cost()}
+    out = {}
+    for b in batches:
+        suffix = "" if b == 32 else f"_b{b}"
+        out[f"dcgan{suffix}"] = dcgan_step_cost(b)
+        out[f"conv_gat{suffix}"] = gat_step_cost(b)
+    return out
 
 
 if __name__ == "__main__":
