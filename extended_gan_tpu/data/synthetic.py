@@ -22,6 +22,19 @@ import numpy as np
 from .io import save_array, mkdir
 
 
+# Weather regimes for heterogeneous archives (the setting conditional
+# capacity targets: storm-vs-drizzle inputs routing to different experts).
+# Each regime fixes the cell-count / amplitude / advection-speed / size
+# ranges _rain_video samples from; None keeps the original mixed defaults.
+REGIMES = {
+    None: dict(n_cells=None, amp=(0.4, 1.0), vel=1.5, sig=(0.06, 0.22)),
+    # convective: few intense, large, fast-moving cells
+    "storm": dict(n_cells=7, amp=(0.7, 1.0), vel=3.0, sig=(0.12, 0.30)),
+    # stratiform: many faint, small, nearly-static cells
+    "drizzle": dict(n_cells=3, amp=(0.12, 0.32), vel=0.4, sig=(0.04, 0.09)),
+}
+
+
 def _rain_video(
     rng: np.random.Generator,
     n_frames: int,
@@ -29,15 +42,21 @@ def _rain_video(
     w: int,
     n_cells: int = 4,
     max_val: float = 1.0,
+    regime: str | None = None,
 ) -> np.ndarray:
     """(T, H, W) float video of advecting anisotropic gaussian cells."""
+    spec = REGIMES[regime]
+    if spec["n_cells"] is not None:
+        n_cells = spec["n_cells"]
     yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
     pos = rng.uniform([0, 0], [h, w], (n_cells, 2)).astype(np.float32)
-    vel = rng.uniform(-1.5, 1.5, (n_cells, 2)).astype(np.float32)
-    sig = rng.uniform(min(h, w) * 0.06, min(h, w) * 0.22, n_cells).astype(
+    vel = rng.uniform(-spec["vel"], spec["vel"], (n_cells, 2)).astype(
         np.float32
     )
-    amp = rng.uniform(0.4, 1.0, n_cells).astype(np.float32)
+    sig = rng.uniform(
+        min(h, w) * spec["sig"][0], min(h, w) * spec["sig"][1], n_cells
+    ).astype(np.float32)
+    amp = rng.uniform(*spec["amp"], n_cells).astype(np.float32)
     frames = np.zeros((n_frames, h, w), np.float32)
     for t in range(n_frames):
         for c in range(n_cells):
@@ -105,14 +124,22 @@ def make_kmni_dataset(
     hw: int = 80,
     seed: int = 0,
     fmt: str = "pt",
+    regimes: tuple[str, ...] | None = None,
 ) -> str:
+    """``regimes``: when set (e.g. ``("storm", "drizzle")``), file ``i``
+    is generated under ``regimes[i % len(regimes)]`` — all vertices of a
+    file share the regime (weather is regional) — producing the
+    heterogeneous archive the Switch-MoE A/B trains on. Default ``None``
+    keeps the original single-regime statistics byte-for-byte."""
     rng = np.random.default_rng(seed)
     for sub, n_files in (("train", n_train_files), ("test", n_test_files)):
         mkdir(os.path.join(out_dir, sub))
         for i in range(n_files):
+            regime = regimes[i % len(regimes)] if regimes else None
             video = np.stack(
                 [
-                    _rain_video(rng, frames_per_file, hw, hw, max_val=254.0)
+                    _rain_video(rng, frames_per_file, hw, hw, max_val=254.0,
+                                regime=regime)
                     for _ in range(n_vertices)
                 ],
                 axis=1,

@@ -109,8 +109,10 @@ def moe_apply_dense(params: dict, tokens: jax.Array, capacity: int,
     """Single-program MoE forward: route, dispatch, expert FFN, combine.
 
     ``params`` holds ``router`` (C, E), ``w1/b1/w2/b2`` with leading expert
-    axes. Returns ``(out (N, C), aux scalar)``; ``out`` excludes the
-    residual (the caller adds it).
+    axes. Returns ``(out (N, C), aux scalar, load (E,))``; ``out`` excludes
+    the residual (the caller adds it), ``load`` counts the tokens each
+    expert actually received (post-capacity) — a routing diagnostic, not a
+    loss term.
     """
     dispatch, combine, aux = route_top1(tokens, params["router"], capacity)
     expert_inputs = jnp.einsum(
@@ -120,7 +122,8 @@ def moe_apply_dense(params: dict, tokens: jax.Array, capacity: int,
         expert_inputs, dtype=dtype)
     out = jnp.einsum(
         "nec,ecd->nd", combine.astype(dtype), expert_outputs)
-    return out, aux
+    load = jnp.sum(dispatch, axis=(0, 2))  # kept tokens per expert
+    return out, aux, load
 
 
 class SwitchMoE(nn.Module):
@@ -153,8 +156,15 @@ class SwitchMoE(nn.Module):
         }
         tokens = x.reshape(b * h * w, c)
         cap = expert_capacity(b * h * w, e, self.capacity_factor)
-        out, aux = moe_apply_dense(params, tokens, cap, dtype=self.dtype)
+        out, aux, load = moe_apply_dense(
+            params, tokens, cap, dtype=self.dtype)
         self.sow("losses", "moe_aux", aux,
                  reduce_fn=lambda prev, cur: prev + cur,
                  init_fn=lambda: jnp.zeros((), jnp.float32))
+        # Routing diagnostic: tokens each expert received. A no-op unless
+        # the caller applies with mutable=["routing"] (scripts/
+        # probe_moe_regimes.py reads it for the per-regime histograms).
+        self.sow("routing", "expert_load", load,
+                 reduce_fn=lambda prev, cur: prev + cur,
+                 init_fn=lambda: jnp.zeros((e,), jnp.float32))
         return x + out.reshape(b, h, w, c).astype(x.dtype)

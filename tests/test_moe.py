@@ -47,7 +47,7 @@ def test_dense_matches_per_token_loop_oracle():
     rng = jax.random.PRNGKey(0)
     params = _params(rng, e, c, h)
     tokens = jax.random.normal(jax.random.PRNGKey(1), (n, c))
-    out, aux = moe_apply_dense(params, tokens, capacity=n)  # nothing drops
+    out, aux, _load = moe_apply_dense(params, tokens, capacity=n)  # nothing drops
 
     logits = tokens @ params["router"]
     probs = jax.nn.softmax(logits, -1)
@@ -75,7 +75,7 @@ def test_capacity_overflow_drops_in_token_order():
     # first 2 tokens dispatched, the rest dropped
     assert float(dispatch[:2].sum()) == 2.0
     assert float(dispatch[2:].sum()) == 0.0
-    out, _ = moe_apply_dense(params, tokens, cap)
+    out, _, _load = moe_apply_dense(params, tokens, cap)
     assert float(jnp.abs(out[2:]).max()) == 0.0
     assert float(jnp.abs(out[:2]).max()) > 0.0
 
@@ -99,7 +99,7 @@ def test_ep_matches_dense_exactly():
     e, c, h, n, d = 8, 16, 32, 64, 4
     params = _params(jax.random.PRNGKey(6), e, c, h)
     tokens = jax.random.normal(jax.random.PRNGKey(7), (n, c))
-    out_dense, _ = moe_apply_dense(params, tokens, capacity=n)
+    out_dense, _, _load = moe_apply_dense(params, tokens, capacity=n)
 
     mesh = MeshContext.create(data=d, model=2)
     ep = make_moe_ep_apply(mesh, n_experts=e, capacity=n // d)
@@ -141,6 +141,7 @@ def test_ep_requires_divisible_experts():
         make_moe_ep_apply(mesh, n_experts=6, capacity=4)
 
 
+@pytest.mark.slow
 def test_unet_model_moe_integration():
     """UnetModel(moe_experts=E): param scope exists, output shape holds,
     and the train step's aux plumbing shifts the loss by weight * aux."""
@@ -174,6 +175,7 @@ def test_unet_model_moe_integration():
     assert loss_w - loss0 >= 0.5 * (1.0 - 1e-4), (loss0, loss_w)
 
 
+@pytest.mark.slow
 def test_shard_tree_moe_ep_targets_only_expert_leaves():
     from extended_gan_tpu.models.unet_model import UnetModel
 
@@ -197,6 +199,7 @@ def test_shard_tree_moe_ep_targets_only_expert_leaves():
     assert {s.data.nbytes for s in inc.addressable_shards} == {inc.nbytes}
 
 
+@pytest.mark.slow
 def test_ep_composes_with_tp_mesh():
     """EP (experts over `data`) + TP (wide conv kernels over `model`) in
     one placement: a full MoE-UNet train step on the (4, 2) mesh matches
@@ -249,6 +252,7 @@ def test_ep_composes_with_tp_mesh():
     assert per <= moe["w1"].nbytes // 4
 
 
+@pytest.mark.slow
 def test_moe_composes_with_megastep():
     """K scanned MoE steps == K sequential single steps (same rngs) —
     the aux-loss plumbing survives the lax.scan megastep wrapper.
@@ -291,6 +295,7 @@ def test_moe_composes_with_megastep():
         np.testing.assert_allclose(la, lb, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_moe_export_cli_roundtrip(tmp_path):
     """MoE experiment -> artifact: config-driven rebuild carries
     MOE_EXPERTS, the batch axis auto-pins (static routing shapes), and
