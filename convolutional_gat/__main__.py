@@ -48,6 +48,13 @@ def main():
                              "program (amortizes per-program dispatch "
                              "overhead K-ways; decisive on remote-"
                              "attached chips — config key MEGASTEP)")
+    parser.add_argument("--resident", action="store_true",
+                        help="transfer the decoded training split to "
+                             "device memory ONCE and gather windows "
+                             "on-device; steady-state epochs move only "
+                             "int32 index programs (config key RESIDENT; "
+                             "composes with --megastep as the program "
+                             "length K, default 8)")
     parser.add_argument("--moe-experts", type=int, default=0,
                         help="E>0: Switch-MoE bottleneck with E experts "
                              "on the unet model families (config key "
@@ -116,6 +123,7 @@ def main():
             fsdp=args.fsdp,
             fsdp_min_size=args.fsdp_min_size or 4096,
             megastep=args.megastep,
+            resident=args.resident,
             use_pallas=args.use_pallas,
             moe_experts=args.moe_experts,
             moe_aux_weight=args.moe_aux_weight,
@@ -141,6 +149,7 @@ def main():
             fsdp=args.fsdp or None,
             fsdp_min_size=args.fsdp_min_size,
             megastep=args.megastep or None,
+            resident=args.resident or None,
             use_pallas=args.use_pallas,
             moe_experts=args.moe_experts or None,
             pipeline_stages=args.pipeline_stages or None,

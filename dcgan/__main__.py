@@ -43,6 +43,13 @@ def main():
                              "program (amortizes per-program dispatch "
                              "overhead K-ways; decisive on remote-"
                              "attached chips)")
+    parser.add_argument("--resident", action="store_true",
+                        help="transfer the decoded training split to "
+                             "device memory ONCE and gather windows "
+                             "on-device; steady-state epochs move only "
+                             "int32 index programs (composes with "
+                             "--megastep as the program length K, "
+                             "default 8)")
     parser.add_argument("--fused-disc", action="store_true",
                         help="batch each discriminator's real+fake passes "
                              "into one doubled-batch fwd/bwd (fewer serial "
@@ -99,6 +106,7 @@ def main():
         fsdp_min_size=args.fsdp_min_size,
         spatial=args.spatial,
         megastep=args.megastep,
+        resident=args.resident,
         fused_disc=args.fused_disc,
         fused_prop=args.fused_prop,
         packed_g=args.packed_g,

@@ -96,6 +96,7 @@ def train(
     fsdp_min_size: int = 4096,
     spatial: bool = False,
     megastep: int = 0,
+    resident: bool = False,
     fused_disc: bool = False,
     fused_prop: bool = False,
     packed_g: bool | None = None,
@@ -187,13 +188,47 @@ def train(
                                  fused_prop=fused_prop)
     eval_step = make_dcgan_eval_step(*models)
     megastep_fn = None
-    if megastep > 1:
+    if megastep > 1 and not resident:
         from .dcgan_trainer import make_dcgan_megastep
 
         megastep_fn = make_dcgan_megastep(*models, *txs,
                                           fused_disc=fused_disc,
                                           fused_prop=fused_prop)
         print(f"[megastep] {megastep} steps per XLA program")
+
+    # Device-resident training archive (--resident): frames transfer to
+    # HBM once, windows gather on-device, epochs move only int32 index
+    # programs — see data/resident.py and the conv-GAT driver's twin.
+    resident_store = None
+    resident_megastep_fn = None
+    resident_k = 0
+    if resident:
+        if spatial:
+            raise ValueError("--resident does not compose with --spatial "
+                             "yet (the gathered batch is DP-sharded)")
+        if train_batch_size % max(mesh.n_data, 1):
+            raise ValueError(
+                f"train_batch_size {train_batch_size} not divisible by "
+                f"the mesh data axis {mesh.n_data} (resident programs "
+                "shard the batch over 'data')")
+        from ..data.resident import (
+            ResidentVideos,
+            make_dcgan_resident_megastep,
+        )
+
+        resident_store = ResidentVideos.from_h5(
+            os.path.join(data_location, "train"), mesh,
+            in_seq_len=params["nc"], out_seq_len=params["nc"],
+            crop=params["imsize"])
+        resident_k = megastep if megastep > 1 else 8
+        resident_megastep_fn = make_dcgan_resident_megastep(
+            *models, *txs, in_seq_len=params["nc"],
+            out_seq_len=params["nc"], fused_disc=fused_disc,
+            fused_prop=fused_prop)
+        mb = resident_store.video.nbytes / 1e6
+        print(f"[resident] {resident_store.n_windows} windows / "
+              f"{mb:.0f} MB live in device memory; K={resident_k} "
+              "steps per program, index-only transfers")
 
     profiler = None
     if profile or profile_trace_dir:
@@ -237,7 +272,13 @@ def train(
             # batches (identical RNG draws -> bit-identical continuation)
             skip = int(mid["batch"]) if epoch == start_epoch else 0
             train_it = iter(train_loader)
-            if skip:
+            if skip and resident_store is not None:
+                # resident epochs replay by program index (derived from
+                # the restored batch count inside train_single_epoch);
+                # the streaming iterator is unused
+                print(f"[resume] resident replay: {skip} consumed batches "
+                      f"of epoch {epoch}")
+            elif skip:
                 print(f"[resume] skipping {skip} consumed batches of "
                       f"epoch {epoch}")
                 for _ in range(skip):
@@ -261,6 +302,11 @@ def train(
                 init_metrics=mid if skip else None,
                 megastep_fn=megastep_fn,
                 megastep_k=megastep,
+                resident_store=resident_store,
+                resident_megastep_fn=resident_megastep_fn,
+                resident_k=resident_k,
+                resident_perm_seed=seed,
+                max_batches=max_batches,
             )
             if mid_out is not None:
                 # step-granular preemption: snapshot inside the epoch

@@ -682,6 +682,11 @@ def train_single_epoch(
     init_metrics: dict | None = None,
     megastep_fn=None,
     megastep_k: int = 0,
+    resident_store=None,
+    resident_megastep_fn=None,
+    resident_k: int = 0,
+    resident_perm_seed: int = 0,
+    max_batches: int = 0,
 ):
     """== dcgan/train.py:80-175 (one epoch of fused adversarial steps).
 
@@ -722,9 +727,31 @@ def train_single_epoch(
     step_cm = step_context(profiler)
     pending = []
     interrupted = False
-    if megastep_fn is not None and megastep_k > 1:
-        import jax.numpy as jnp
+    if resident_store is not None:
+        import math
 
+        # epoch-derived permutation key (deterministic under resume; the
+        # KeySeq snapshot already sits at the interruption point, so
+        # replay-skipped programs draw no dropout keys)
+        perm_key = jax.random.fold_in(
+            jax.random.PRNGKey(resident_perm_seed), epoch)
+        progs = resident_store.epoch_programs(
+            perm_key, resident_k, batch_size)
+        n_prog = int(progs.shape[0])
+        if max_batches:
+            n_prog = min(n_prog, math.ceil(max_batches / resident_k))
+        start_prog = n_done // resident_k  # mid-epoch resume, in programs
+        for i in range(start_prog, n_prog):
+            rngs = jnp.stack([rng_keys.next() for _ in range(resident_k)])
+            with step_cm():
+                states, logs = resident_megastep_fn(
+                    states, resident_store.video, progs[i], rngs)
+            pending.append(logs)  # *_nd masked-summed over the k steps
+            n_done += resident_k
+            if shutdown is not None and shutdown.requested:
+                interrupted = True
+                break
+    elif megastep_fn is not None and megastep_k > 1:
         for k, (xs, ys, ms) in _megafeed(
             dataloader, mesh, batch_size, megastep_k, spatial=spatial
         ):

@@ -68,6 +68,10 @@ def train_single_epoch(
     megastep_fn=None,
     megastep_k: int = 0,
     save_params_fn=None,
+    resident_store=None,
+    resident_megastep_fn=None,
+    resident_k: int = 0,
+    resident_perm_seed: int = 0,
 ):
     """== convolutional_gat/train.py:94-155.
 
@@ -96,7 +100,12 @@ def train_single_epoch(
     if profiler is not None:
         profiler.start_epoch()
     train_it = iter(train_loader)
-    if start_batch:
+    if start_batch and resident_store is not None:
+        # resident epochs replay by program index below; the streaming
+        # iterator is unused (start_batch counts PROGRAMS on this path)
+        print(f"[resume] resident replay: {start_batch} consumed programs "
+              f"of epoch {epoch}")
+    elif start_batch:
         print(f"[resume] skipping {start_batch} consumed batches of "
               f"epoch {epoch}")
         for _ in range(start_batch):
@@ -104,7 +113,35 @@ def train_single_epoch(
     pending = []  # device scalars; single fetch at epoch end (RTT-bound)
     interrupted = False
     n_done = start_batch
-    if megastep_fn is not None and megastep_k > 1:
+    if resident_store is not None:
+        import math as _math
+
+        import jax as _jax
+
+        # epoch-derived permutation key: deterministic under resume (the
+        # dropout KeySeq snapshot already sits at the interruption point,
+        # so replay-skipped programs draw no keys)
+        perm_key = _jax.random.fold_in(
+            _jax.random.PRNGKey(resident_perm_seed), epoch)
+        progs = resident_store.epoch_programs(
+            perm_key, resident_k, train_batch_size)
+        counts = resident_store.program_sample_counts(
+            int(progs.shape[0]), resident_k, train_batch_size)
+        n_prog = int(progs.shape[0])
+        if max_batches:
+            n_prog = min(n_prog, _math.ceil(max_batches / resident_k))
+        for i in range(start_batch, n_prog):
+            rngs = jnp.stack([keys.next() for _ in range(resident_k)])
+            with step_cm():
+                state, logs = resident_megastep_fn(
+                    state, resident_store.video, progs[i], rngs)
+            pending.append(logs["running_nd"])
+            total_length += counts[i]
+            n_done += 1
+            if shutdown is not None and shutdown.requested:
+                interrupted = True
+                break
+    elif megastep_fn is not None and megastep_k > 1:
         import itertools
 
         from .gat_trainer import gat_megafeed
@@ -228,6 +265,7 @@ def train(
     spatial: bool = False,
     use_pallas: bool | None = None,
     megastep: int = 0,
+    resident: bool = False,
     moe_experts: int = 0,
     moe_aux_weight: float = 0.01,
     pipeline_stages: int = 0,
@@ -395,13 +433,61 @@ def train(
                                forward_override=fwd_override)
     eval_step = make_gat_eval_step(model, forward_override=fwd_override)
     megastep_fn = None
-    if megastep > 1:
+    if megastep > 1 and not resident:
         from .gat_trainer import make_gat_megastep
 
         megastep_fn = make_gat_megastep(model, tx, remat=remat,
                                         criterion=criterion,
                                         moe_aux_weight=aux_w)
         print(f"[megastep] {megastep} steps per XLA program")
+
+    # Device-resident training archive (config key RESIDENT / --resident):
+    # the decoded split transfers to HBM once; epochs gather windows
+    # on-device and move only (K, B) int32 index programs per K steps —
+    # the cure for the reference's per-batch host->device copy
+    # (kmni_data_loader.py:115), which dominates wall-clock on a
+    # relay-attached chip (BENCH_NOTES round 4: the disk feed ran at
+    # 1.6-4.7% of the device rate; resident runs at ~the synthetic rate).
+    resident_store = None
+    resident_megastep_fn = None
+    resident_k = 0
+    if resident:
+        if dataset not in ("kmni", "synthetic"):
+            raise ValueError(
+                f"--resident supports the KNMI-format datasets "
+                f"(kmni/synthetic), not {dataset!r}")
+        if pp is not None:
+            raise ValueError("--resident and --pipeline-stages are "
+                             "mutually exclusive (launch one)")
+        if spatial:
+            raise ValueError("--resident does not compose with --spatial "
+                             "yet (the gathered batch is DP-sharded)")
+        if train_batch_size % max(mesh.n_data, 1):
+            raise ValueError(
+                f"train_batch_size {train_batch_size} not divisible by "
+                f"the mesh data axis {mesh.n_data} (resident programs "
+                "shard the batch over 'data')")
+        from ..data.resident import (
+            ResidentVideos,
+            make_gat_resident_megastep,
+        )
+
+        folder = preprocessed_folder
+        if dataset == "synthetic":
+            from ..data.synthetic import ensure_synthetic_kmni
+
+            folder = ensure_synthetic_kmni(preprocessed_folder or None)
+        resident_store = ResidentVideos.from_kmni(
+            os.path.join(folder, "train"), mesh, time_steps=steps,
+            crop=downsample_size[0])
+        resident_k = megastep if megastep > 1 else 8
+        resident_megastep_fn = make_gat_resident_megastep(
+            model, tx, time_steps=steps, remat=remat, criterion=criterion,
+            moe_aux_weight=aux_w)
+        mb = resident_store.video.nbytes / 1e6
+        print(f"[resident] {resident_store.n_windows} windows / "
+              f"{mb:.0f} MB live in device memory; K={resident_k} "
+              "steps per program, index-only transfers")
 
     scheduler = (
         ReduceLROnPlateau(learning_rate, factor=0.5, patience=0)
@@ -498,6 +584,9 @@ def train(
                 if skip else (0.0, 0),
                 megastep_fn=megastep_fn, megastep_k=megastep,
                 save_params_fn=pp.unprepare if pp is not None else None,
+                resident_store=resident_store,
+                resident_megastep_fn=resident_megastep_fn,
+                resident_k=resident_k, resident_perm_seed=seed,
             )
             if mid_out is not None:
                 # step-granular preemption: snapshot inside the epoch

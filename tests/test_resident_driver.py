@@ -1,0 +1,96 @@
+"""--resident through the real conv-GAT driver (product path).
+
+tests/test_resident.py pins the library mechanics (window universe ==
+streaming loaders, on-device gathers, tail masking); these tests pin the
+LAUNCHABLE surface: the driver trains end-to-end with the archive in
+device memory on the 8-virtual-device DP mesh, loss parity with the
+streaming driver on the same data, and the guard rails raise.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from extended_gan_tpu.data.synthetic import make_kmni_dataset
+from extended_gan_tpu.train.gat_driver import train
+
+
+@pytest.fixture(scope="module")
+def kmni_data(tmp_path_factory):
+    d = tmp_path_factory.mktemp("kmni")
+    return make_kmni_dataset(
+        str(d / "data"), n_train_files=2, n_test_files=1,
+        frames_per_file=24, n_vertices=6, hw=24, seed=5)
+
+
+def test_gat_driver_resident_trains(kmni_data, tmp_path):
+    out = str(tmp_path / "out")
+    state, history = train(
+        model_type="temporal", optimizer="adam", mapping_type="linear",
+        output_path=out, train_batch_size=8, test_batch_size=8, epochs=2,
+        learning_rate=1e-3, lr_step=1, gamma=0.95,
+        downsample_size=(16, 16), preprocessed_folder=kmni_data,
+        dataset="kmni", plot=False, resident=True, megastep=4, seed=7,
+    )
+    assert len(history["train_loss"]) == 2
+    assert all(np.isfinite(v) for v in history["train_loss"])
+    assert np.isfinite(history["val_loss"][-1])
+    # artifacts: same shape as the streaming driver's
+    h = json.load(open(os.path.join(out, "history.json")))
+    assert h["val_loss"] == history["val_loss"]
+    assert os.path.exists(os.path.join(out, "model.msgpack"))
+
+
+@pytest.mark.slow
+def test_resident_driver_loss_comparable_to_streaming(kmni_data, tmp_path):
+    """Same data, same model, same epochs: the resident driver's loss
+    trajectory must land in the same regime as the streaming driver's
+    (orders differ — resident shuffles by device permutation — so expect
+    statistical, not bitwise, agreement)."""
+    common = dict(
+        model_type="temporal", optimizer="adam", mapping_type="linear",
+        train_batch_size=8, test_batch_size=8, epochs=2,
+        learning_rate=1e-3, lr_step=1, gamma=0.95,
+        downsample_size=(16, 16), preprocessed_folder=kmni_data,
+        dataset="kmni", plot=False, seed=7,
+    )
+    _, h_res = train(output_path=str(tmp_path / "r"), resident=True,
+                     megastep=4, **common)
+    _, h_str = train(output_path=str(tmp_path / "s"), **common)
+    assert np.isfinite(h_res["val_loss"][-1])
+    r, s = h_res["val_loss"][-1], h_str["val_loss"][-1]
+    assert abs(r - s) / max(s, 1e-9) < 0.5, (r, s)
+
+
+@pytest.mark.slow
+def test_dcgan_driver_resident_trains(tmp_path):
+    """--resident through the dcgan driver: synthetic h5 archive resident
+    in device memory, losses finite, history written."""
+    from extended_gan_tpu.train.dcgan_driver import train as dcgan_train
+
+    states, history = dcgan_train(
+        epochs=1, train_batch_size=8, test_batch_size=8,
+        synthetic=True, out_dir=str(tmp_path), seed=11,
+        params={"ndf": 64}, resident=True, megastep=4,
+    )
+    h = history.history
+    assert np.isfinite(h["train_mse"][-1])
+    assert np.isfinite(h["pred_mse"][-1])
+    assert os.path.exists(os.path.join(str(tmp_path), "history.json"))
+
+
+def test_resident_guard_rails(kmni_data, tmp_path):
+    common = dict(
+        model_type="temporal", optimizer="adam", mapping_type="linear",
+        output_path=str(tmp_path / "out"), train_batch_size=8,
+        test_batch_size=8, epochs=1, learning_rate=1e-3, lr_step=1,
+        gamma=0.95, downsample_size=(16, 16),
+        preprocessed_folder=kmni_data, dataset="kmni", plot=False,
+    )
+    with pytest.raises(ValueError, match="spatial"):
+        train(resident=True, spatial=True, model_axis=2, **common)
+    with pytest.raises(ValueError, match="not divisible"):
+        train(resident=True, train_batch_size=6, **{
+            k: v for k, v in common.items() if k != "train_batch_size"})
