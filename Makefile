@@ -5,9 +5,19 @@
 test:
 	python -m pytest tests/ -q
 
-# unit/integration tier only (~4 min single-core; golden/e2e tests are `slow`)
+# unit/integration tier only (golden/e2e tests are `slow`); measured times
+# in docs/TESTING.md. On multi-core boxes add J=auto (pytest-xdist).
+J ?=
 test-fast:
-	python -m pytest tests/ -q -m "not slow"
+	python -m pytest tests/ -q -m "not slow" $(if $(J),-n $(J),)
+
+# deterministic file-level sharding for small/CI boxes: run shard I of N
+# (1-based), e.g. three sequential slices or three parallel machines:
+#   make test-shard N=3 I=1 ; make test-shard N=3 I=2 ; make test-shard N=3 I=3
+N ?= 3
+I ?= 1
+test-shard:
+	python scripts/test_shard.py --shards $(N) --index $(I) -- -q -m "not slow"
 
 bench:
 	python bench.py

@@ -27,7 +27,9 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 
 # Persistent compilation cache: extended_gan_tpu/__init__.py already points
-# every process (tests included) at ~/.cache/egt_jax_cache, so CPU-tier
-# compiles >1 s are AOT-cached across suite runs. Nothing to configure here.
+# every process (tests included) at ~/.cache/egt_jax_cache. For the suite,
+# lower the persistence threshold: the CPU tier compiles hundreds of
+# 0.1-1 s programs whose aggregate dominates cold-cache wall time.
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

@@ -3,6 +3,7 @@ update whether it runs on 1 device or sharded over 8 — the guarantee the
 mesh/DP layer owes its users (the reference has no equivalent to test,
 SURVEY 2.7)."""
 
+import pytest
 import jax
 import numpy as np
 
@@ -53,6 +54,7 @@ def test_dp8_matches_single_device():
             np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_gat_dp8_matches_single_device():
     """conv-GAT fused train step: DP1 == DP8 (losses, params)."""
     import jax.numpy as jnp
@@ -94,6 +96,7 @@ def test_gat_dp8_matches_single_device():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
 
 
+@pytest.mark.slow
 def test_cyclegan_dp8_matches_single_device():
     """CycleGAN fused train step: DP1 == DP8 (losses, params, BN stats)."""
     from extended_gan_tpu.train.cyclegan_driver import build_cyclegan

@@ -10,6 +10,7 @@ carries NO semantic deviation: with the real BN+dropout models the
 fused step must match the default body exactly.
 """
 
+import pytest
 import jax
 import numpy as np
 
@@ -46,6 +47,7 @@ def _assert_states_close(sa, sb, rtol=0.0, atol=0.0):
                                        rtol=rtol, atol=atol)
 
 
+@pytest.mark.slow
 def test_dedup_g_matches_default_with_bn_and_dropout():
     """Real models (BatchNorm + dropout LIVE): dedup_g must be exact —
     it is a re-expression of the same program, not an approximation."""
@@ -70,6 +72,7 @@ def test_dedup_g_matches_default_with_bn_and_dropout():
     _assert_states_close(states_a, states_b)
 
 
+@pytest.mark.slow
 def test_dedup_g_composes_with_fused_disc():
     """dedup_g + fused_disc: runs, and matches fused_disc alone exactly
     (dedup_g changes no math regardless of the D-pass layout)."""

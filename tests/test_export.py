@@ -41,6 +41,7 @@ def _tiny_gat_forward():
     return fwd
 
 
+@pytest.mark.slow
 def test_export_roundtrip_symbolic_batch(tmp_path):
     from extended_gan_tpu.serve import (
         export_forward,

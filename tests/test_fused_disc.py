@@ -9,6 +9,7 @@ BatchNorm and dropout disabled the fused and sequential bodies must
 produce identical updates, and with the real models it must still train.
 """
 
+import pytest
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
@@ -96,6 +97,7 @@ def test_fused_matches_sequential_without_bn_dropout():
                                        rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_fused_disc_trains_real_models():
     """With the real BN-carrying models the fused step must run, update all
     three nets, and keep losses finite; the discriminator BN running stats

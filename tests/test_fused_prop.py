@@ -122,6 +122,7 @@ def _run_pair(models, txs, states_a, states_b, n_steps=2, key_seed=5):
     return states_a, logs_a, states_b, err_g_b
 
 
+@pytest.mark.slow
 def test_fused_prop_matches_naive_strict_sgd():
     """The fusion is lossless: fused_prop == two-backward naive twin of
     the same simultaneous semantics, BN + dropout LIVE. Under SGD a
@@ -162,6 +163,7 @@ def test_fused_prop_matches_naive_strict_sgd():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-6)
 
 
+@pytest.mark.slow
 def test_fused_prop_matches_naive_adam_budget():
     """Same comparison under the production Adam optimizers: identical
     up to the sign-resolution budget (a near-zero-gradient coordinate
@@ -181,6 +183,7 @@ def test_fused_prop_matches_naive_adam_budget():
                                    rtol=1e-3, atol=budget)
 
 
+@pytest.mark.slow
 def test_fused_prop_trains_sanely():
     """A few steps move the losses finitely (no NaN, D not frozen)."""
     models, txs, states, _ = build_dcgan(PARAMS)
@@ -193,6 +196,7 @@ def test_fused_prop_trains_sanely():
             assert np.isfinite(float(logs[k])), (k, logs[k])
 
 
+@pytest.mark.slow
 def test_fused_prop_megastep_runs():
     models, txs, states, _ = build_dcgan(PARAMS)
     mega = make_dcgan_megastep(*models, *txs, fused_prop=True)
@@ -257,6 +261,7 @@ def _naive_disc_simultaneous_step(models, txs, states, x, y, mask, rng):
     return GANStates(g=g_state, fd=fd_state, td=td_state), err_g
 
 
+@pytest.mark.slow
 def test_fused_prop_disc_matches_naive_strict_sgd():
     """fused_prop x fused_disc (the minimal chain) == its two-backward
     naive twin at reassociation scale under SGD, BN + dropout live."""
@@ -303,6 +308,7 @@ def test_fused_prop_disc_matches_naive_strict_sgd():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-6)
 
 
+@pytest.mark.slow
 def test_fused_prop_composes_with_packed_g():
     """Model-layout mode (packed_g) and step-body mode (fused_prop) are
     orthogonal; together they run and match the unpacked fused_prop step

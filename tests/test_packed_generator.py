@@ -57,6 +57,7 @@ def test_packed_conv_matches_direct_conv_exactly():
                                atol=1e-5)
 
 
+@pytest.mark.slow
 def test_param_trees_identical():
     _, v_u = _init(packed=False)
     _, v_p = _init(packed=True)
@@ -68,6 +69,7 @@ def test_param_trees_identical():
 
 
 @pytest.mark.parametrize("train", [False, True])
+@pytest.mark.slow
 def test_forward_parity(train):
     g_u, v = _init(packed=False)
     g_p, _ = _init(packed=True)
@@ -104,6 +106,7 @@ def test_dropout_draw_identical():
                                rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_fused_step_parity():
     """Full adversarial step (G + both Ds + 3 Adams) with packed vs
     unpacked G: same init (identical param trees), same batches, same rng
@@ -190,6 +193,7 @@ def test_checkpoint_interchange_with_unpacked(tmp_path):
         rtol=2e-3)
 
 
+@pytest.mark.slow
 def test_grad_parity():
     g_u, v = _init(packed=False, dropout=0.0)
     g_p, _ = _init(packed=True, dropout=0.0)

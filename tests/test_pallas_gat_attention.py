@@ -32,6 +32,7 @@ def test_kernel_matches_reference_impl():
                                rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_kernel_gradients_match_reference():
     rng = np.random.RandomState(1)
     B, M, G, S = 2, 4, 6, 16
@@ -77,6 +78,7 @@ def test_attend_wrapper_matches_head_math():
                                rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_head_use_pallas_matches_unfused():
     rng = np.random.RandomState(3)
     x = jnp.asarray(rng.rand(2, 12, 12, 4, 6).astype(np.float32))

@@ -50,6 +50,7 @@ def test_reference_dsc_matches_lax_grouped_conv():
     np.testing.assert_allclose(ref, np.asarray(y), rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_fused_dsconv_gradients_match_unfused():
     rng = np.random.RandomState(2)
     args = _random_dsc(rng, 1, 8, 8, 4, 2, 8)

@@ -55,6 +55,7 @@ def test_oversized_spatial_falls_back_unfused():
     np.testing.assert_allclose(out, ref, rtol=1e-3, atol=1e-3)
 
 
+@pytest.mark.slow
 def test_tiled_gradients_match():
     import jax
 

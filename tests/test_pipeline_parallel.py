@@ -80,6 +80,7 @@ def test_pp2_grads_match_sequential_and_inherit_stage_sharding():
         assert a.sharding.spec == jax.sharding.PartitionSpec("model")
 
 
+@pytest.mark.slow
 def test_pp_microbatch_count_invariance():
     """M=2 vs M=8 (different bubble fractions) give identical outputs."""
     (_, _, _, apply, stacked, _, _, xd, _) = _baseline_setup(data=2)

@@ -178,6 +178,7 @@ def test_gat_resident_megastep_matches_streaming_megastep(kmni_folder):
                                rtol=2e-5)
 
 
+@pytest.mark.slow
 def test_dcgan_resident_megastep_runs_and_masks_tail(h5_folder):
     """The dcgan resident megastep executes on a DP mesh and the padded
     tail rows are masked out of the metric accumulators (mask sum ==

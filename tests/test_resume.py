@@ -140,6 +140,7 @@ def test_cyclegan_resume_reapplies_tp_sharding(tmp_path):
     assert sharded, "wide d_x conv kernels lost their TP sharding on resume"
 
 
+@pytest.mark.slow
 def test_gat_checkpoint_carries_prng_stream(tmp_path):
     """The conv-GAT checkpoint must persist the dropout-key stream so a
     resumed run CONTINUES it instead of replaying epoch 1..N's masks

@@ -151,6 +151,7 @@ def test_cyclegan_driver_spatial_end_to_end(tmp_path):
     assert np.isfinite(hist.history["cycle_l1"][-1])
 
 
+@pytest.mark.slow
 def test_gat_sp_matches_single_device():
     """conv-GAT fused step: DP2 x SP4 == single device."""
     import jax.numpy as jnp
