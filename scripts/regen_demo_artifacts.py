@@ -37,7 +37,11 @@ def main(argv=None):
     ap.add_argument("--epochs-cap", type=int, default=0,
                     help="cap each experiment's EPOCHS (0 = use config)")
     ap.add_argument("--skip-train", action="store_true")
-    ap.add_argument("--experiments", nargs="*", default=list(EXPERIMENTS))
+    ap.add_argument("--skip-compare", action="store_true",
+                    help="train only; don't refresh compare_models results")
+    ap.add_argument("--experiments", nargs="*", default=list(EXPERIMENTS),
+                    help='dir names, or "all" for every experiment dir, '
+                         'or "missing" for dirs without a history.json')
     args = ap.parse_args(argv)
 
     from extended_gan_tpu.data.synthetic import make_kmni_dataset
@@ -50,6 +54,15 @@ def main(argv=None):
                           frames_per_file=120, n_vertices=6, hw=80, seed=7)
 
     base = os.path.join(REPO, "convolutional_gat", "experiments")
+    if args.experiments in (["all"], ["missing"]):
+        names = sorted(
+            d for d in os.listdir(base)
+            if os.path.isfile(os.path.join(base, d, "config.py")))
+        if args.experiments == ["missing"]:
+            names = [d for d in names if not os.path.isfile(
+                os.path.join(base, d, "history.json"))]
+        args.experiments = names
+        print(f"[regen] resolved to {len(names)} experiment dirs")
     if not args.skip_train:
         for name in args.experiments:
             exp_dir = os.path.join(base, name)
@@ -63,6 +76,10 @@ def main(argv=None):
                   f"({kwargs['model_type']}/{kwargs['mapping_type']}, "
                   f"{kwargs['epochs']} epochs) ===")
             train(**kwargs)
+
+    if args.skip_compare:
+        print("[regen] --skip-compare: done")
+        return
 
     from convolutional_gat.compare_models.__main__ import compare_models
 
