@@ -46,6 +46,26 @@ from .layers import (
 )
 
 
+class _ConvParams(nn.Module):
+    """Registers exactly the params nn.Conv would (same scope path, same
+    initializers, same shapes -> bit-identical init values and checkpoint
+    interchange) without running the conv — the fused Pallas mapping
+    consumes them directly."""
+
+    features: int
+    in_features: int
+    kernel_size: tuple
+
+    @nn.compact
+    def __call__(self):
+        shape = tuple(self.kernel_size) + (self.in_features, self.features)
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            shape, jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32)
+        return kernel, bias
+
+
 class _Mapping(nn.Module):
     """Per-node feature map on the T (frame-channel) axis.
 
@@ -57,6 +77,7 @@ class _Mapping(nn.Module):
     nhid: int
     mapping_type: str = "linear"
     conv_hidden: int = 74
+    use_pallas: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -71,7 +92,26 @@ class _Mapping(nn.Module):
 
         # fold V into the batch: (B, H, W, T, V) -> (B*V, H, W, T)
         xb = x.transpose(0, 4, 1, 2, 3).reshape(b * v, h, w, t)
-        if self.mapping_type == "conv":
+        if self.mapping_type == "conv" and self.use_pallas and h == w:
+            # ONE Pallas program for the whole bottleneck: the 74-wide
+            # intermediates live in VMEM instead of round-tripping HBM
+            # between convs — the step's HBM-roofline fix
+            # (probe_gat_decomp.py: ~1.8 GB/step at b32, mappings own
+            # most of it). Params are nn.Conv-identical (_ConvParams),
+            # so checkpoints swap freely between the two paths. Compute
+            # is exact f32 (HIGHEST) — tighter than XLA's default
+            # bf16-pass convs.
+            from ...ops.pallas.gat_mapping import fused_conv_bottleneck
+
+            k1, b1 = _ConvParams(self.conv_hidden, t, (3, 3),
+                                 name="conv1")()
+            k2, b2 = _ConvParams(self.conv_hidden, self.conv_hidden,
+                                 (1, 1), name="conv2")()
+            k3, b3 = _ConvParams(self.nhid, self.conv_hidden, (3, 3),
+                                 name="conv3")()
+            y = fused_conv_bottleneck(xb.astype(jnp.float32), k1, b1, k2,
+                                      b2, k3, b3)
+        elif self.mapping_type == "conv":
             # 3x3 -> 1x1 -> 3x3 bottleneck; width 74 pins the temporal/conv
             # Model to the reference's 43,936-param measurement exactly.
             y = nn.Conv(self.conv_hidden, (3, 3), padding="SAME",
@@ -148,7 +188,7 @@ class GAT3DHead(nn.Module):
     def __call__(self, x, *, train: bool = True):
         mapped = _Mapping(
             self.nfeat, self.nhid, self.mapping_type, dtype=self.dtype,
-            name="mapping",
+            use_pallas=self.use_pallas, name="mapping",
         )(x, train=train).astype(jnp.float32)
         if self.type_ == "temporal":
             out, elu_done = self._attend(mapped, "temporal")

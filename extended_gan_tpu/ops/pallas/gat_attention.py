@@ -20,9 +20,15 @@ Two layout tricks keep Mosaic happy (no in-kernel transposes):
   column vectors with two singleton-contraction dot_generals (outer
   products against ones), never a transpose.
 
-The backward pass is the plain-JAX reference composition via custom_vjp —
-numerically the exact same math, so gradients match jax.grad of the
-unfused form (tested in tests/test_pallas_gat_attention.py).
+The backward pass is analytic cotangent math over residuals the forward
+kernel emits for free (the softmax matrix, the adjacency-mixed attention
+and the leaky-relu sign mask are all (M, M) with M = T = 4 — bytes, not
+megabytes, next to the (B, M, P) activation). Round-4's backward re-ran
+the ENTIRE reference forward inside jax.vjp, which probe_gat_decomp.py
+attributed ~0.9 ms of the 2.1 ms training step to; the saved-residual
+form does only the three P-sized cotangent contractions plus tiny (M, M)
+algebra. Gradients still match jax.grad of the unfused composition
+(tested in tests/test_pallas_gat_attention.py).
 """
 
 from __future__ import annotations
@@ -53,8 +59,8 @@ def _small_matmul_f32(a, b):
     return acc
 
 
-def _kernel(m_ref, w1_ref, w2_ref, adj_ref, out_ref, *, alpha: float,
-            inv_group: float):
+def _kernel(m_ref, w1_ref, w2_ref, adj_ref, out_ref, att0_ref, att_ref,
+            pos_ref, *, alpha: float, inv_group: float):
     m = m_ref[0]  # (M, P) float32
     mm = m.shape[0]
     # scores from implicit pooled descriptors: s = (m @ w) / group_size.
@@ -76,10 +82,15 @@ def _kernel(m_ref, w1_ref, w2_ref, adj_ref, out_ref, *, alpha: float,
         precision=jax.lax.Precision.HIGHEST,
     )
     e = jnp.where(e > 0, e, alpha * e)  # leaky_relu
+    # sign BEFORE max-subtraction; leaky_relu (alpha > 0) preserves the
+    # pre-activation sign, so this is the leaky-relu backward mask
+    pos_ref[0] = jnp.where(e > 0, 1.0, 0.0)
     e = e - jnp.max(e, axis=-1, keepdims=True)
     p = jnp.exp(e)
-    att = p / jnp.sum(p, axis=-1, keepdims=True)  # softmax rows
-    att = _small_matmul_f32(adj_ref[:], att)
+    att0 = p / jnp.sum(p, axis=-1, keepdims=True)  # softmax rows
+    att0_ref[0] = att0
+    att = _small_matmul_f32(adj_ref[:], att0)
+    att_ref[0] = att
     out = _small_matmul_f32(att, m)
     # ELU; Mosaic has no expm1 lowering — exp-1 is within 1 ulp of expm1
     # for the magnitudes reaching this branch (out < 0)
@@ -107,14 +118,19 @@ def fused_gat_attention(m, w1, w2, adj_norm, alpha, group_size):
     """m: (B, M, P) float32 with P = n_groups * group_size (groups
     contiguous); w1/w2: (1, P) group-repeated attention row vectors;
     adj_norm: (M, M) normalized adjacency. Returns elu(mixed) (B, M, P)."""
-    return _pallas_forward(m, w1, w2, adj_norm, alpha, group_size)
+    return _pallas_forward(m, w1, w2, adj_norm, alpha, group_size)[0]
 
 
 def _pallas_forward(m, w1, w2, adj_norm, alpha, group_size,
                     interpret=None):
+    """Returns (out, att0, att, pos): the primal plus the (B, M, M)
+    residuals the analytic backward needs (softmax rows, adjacency-mixed
+    attention, leaky-relu sign mask)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     b, mm, p = m.shape
+    small = pl.BlockSpec((1, mm, mm), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
     return pl.pallas_call(
         functools.partial(_kernel, alpha=float(alpha),
                           inv_group=1.0 / float(group_size)),
@@ -129,27 +145,57 @@ def _pallas_forward(m, w1, w2, adj_norm, alpha, group_size,
             pl.BlockSpec((mm, mm), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, mm, p), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, mm, p), jnp.float32),
+        out_specs=[
+            pl.BlockSpec((1, mm, p), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            small, small, small,
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, mm, p), jnp.float32),
+            jax.ShapeDtypeStruct((b, mm, mm), jnp.float32),
+            jax.ShapeDtypeStruct((b, mm, mm), jnp.float32),
+            jax.ShapeDtypeStruct((b, mm, mm), jnp.float32),
+        ],
         interpret=interpret,
     )(m.astype(jnp.float32), w1.astype(jnp.float32),
       w2.astype(jnp.float32), adj_norm.astype(jnp.float32))
 
 
 def _fwd(m, w1, w2, adj_norm, alpha, group_size):
-    out = _pallas_forward(m, w1, w2, adj_norm, alpha, group_size)
-    return out, (m, w1, w2, adj_norm)
+    out, att0, att, pos = _pallas_forward(m, w1, w2, adj_norm, alpha,
+                                          group_size)
+    return out, (m, w1, w2, adj_norm, att0, att, pos, out)
 
 
 def _bwd(alpha, group_size, res, g):
-    m, w1, w2, adj_norm = res
-    _, vjp = jax.vjp(
-        lambda m_, w1_, w2_, adj_: _reference_impl(
-            m_, w1_, w2_, adj_, alpha, group_size),
-        m, w1, w2, adj_norm,
-    )
-    return vjp(g)
+    """Analytic cotangents from saved residuals — no forward recompute.
+
+    Heavy ops (P-sized) are exactly three: the elu/elementwise chain on
+    (B, M, P), d_att = d0 @ m^T and d_m = att^T @ d0; everything else is
+    (M, M) algebra. HIGHEST precision matches the forward's exact-f32
+    contract (gradients are parity-tested against jax.grad of
+    _reference_impl)."""
+    m, w1, w2, adj_norm, att0, att, pos, out = res
+    hp = jax.lax.Precision.HIGHEST
+    # elu'(x) = 1 for x > 0 else exp(x) = elu(x) + 1; elu preserves sign
+    d0 = g * jnp.where(out > 0, 1.0, out + 1.0)
+    # out0 = att @ m
+    d_att = jnp.einsum("bip,bjp->bij", d0, m, precision=hp)
+    d_m = jnp.einsum("bij,bip->bjp", att, d0, precision=hp)
+    # att = adj_norm @ att0
+    d_adj = jnp.einsum("bij,bkj->ik", d_att, att0, precision=hp)
+    d_att0 = jnp.einsum("ik,bij->bkj", adj_norm, d_att, precision=hp)
+    # softmax rows (max-shift is gradient-invariant)
+    d_e = att0 * (d_att0 - jnp.sum(d_att0 * att0, axis=-1, keepdims=True))
+    d_e = jnp.where(pos > 0, d_e, alpha * d_e)  # leaky_relu'
+    inv_group = 1.0 / float(group_size)
+    # e_pre[b,i,j] = s1[b,i] + s2[b,j]; s = (m @ w) / group_size
+    d_s1 = jnp.sum(d_e, axis=-1, keepdims=True) * inv_group  # (B, M, 1)
+    d_s2 = jnp.sum(d_e, axis=-2)[:, :, None] * inv_group     # (B, M, 1)
+    d_m = d_m + d_s1 * w1 + d_s2 * w2
+    d_w1 = jnp.einsum("bmo,bmp->op", d_s1, m, precision=hp)  # (1, P)
+    d_w2 = jnp.einsum("bmo,bmp->op", d_s2, m, precision=hp)
+    return d_m, d_w1, d_w2, d_adj
 
 
 fused_gat_attention.defvjp(_fwd, _bwd)

@@ -14,8 +14,8 @@ each isolated here as its own K-scanned program (two-K fit 16/64):
                  params carry / serial dependency the cost?
   chain_logs   — + the stacked logs dict (== wrap_megastep): is log
                  stacking the cost?
-  full_u4      — the real megastep with lax.scan unroll=4: does
-                 unrolling recover overlap if the cost is per-iteration
+  chain_u4 /   — the real megastep body with lax.scan unroll=4/8: does
+  chain_u8       unrolling recover overlap if the cost is per-iteration
                  scheduling latency?
 
 Run: python scripts/probe_gat_residual.py [f32|bf16]
