@@ -496,6 +496,64 @@ def bench_gat_pipeline_resident(batch=32, K=64, n_programs=3, hw=20):
     return n_timed * K / (time.perf_counter() - t0)
 
 
+def bench_gat_eval_resident_vs_streaming(batch=64, hw=20, K=8):
+    """Eval-path decomposition (VERDICT r4 #4b): with resident TRAINING,
+    epoch wall-clock on a relay rig became EVAL-dominated — the val split
+    still streamed per-batch. Measures val batches/s three ways: the
+    streaming gat_trainer.test loop, and the resident eval program
+    (on-device gathers + on-device median-of-uniques threshold, ONE (6,)
+    fetch per K batches)."""
+    import jax
+    import jax.numpy as jnp
+
+    from extended_gan_tpu.core import KeySeq
+    from extended_gan_tpu.data.resident import (
+        ResidentVideos,
+        make_gat_resident_eval,
+        resident_gat_test,
+    )
+    from extended_gan_tpu.data.streaming import KmniLoader
+    from extended_gan_tpu.data.synthetic import ensure_synthetic_kmni
+    from extended_gan_tpu.models.registry import build_model
+    from extended_gan_tpu.parallel import MeshContext
+    from extended_gan_tpu.train.gat_trainer import make_gat_eval_step, test
+    from extended_gan_tpu.train.optim import adam
+    from extended_gan_tpu.train.state import create_net_state
+
+    mesh = MeshContext.create(data=1, model=1)
+    model = build_model("temporal", image_width=hw, image_height=hw,
+                        n_vertices=6, mapping_type="conv", use_pallas=True)
+    tx = adam(1e-3)
+    state = mesh.put_replicated(create_net_state(
+        model, tx, KeySeq(0).next(), jnp.zeros((2, hw, hw, 4, 6))))
+    folder = ensure_synthetic_kmni(None, n_train_files=4,
+                                   frames_per_file=400, n_test_files=1,
+                                   hw=hw)
+    store = ResidentVideos.from_kmni(folder + "/train", mesh, crop=hw)
+    n_batches = sum(
+        (len(fs) + batch - 1) // batch for fs in store.file_starts)
+
+    eval_k = make_gat_resident_eval(model, time_steps=4,
+                                    power=store.power,
+                                    normalizing_max=store.normalizing_max)
+    resident_gat_test(eval_k, state, store, k=K, batch_size=batch)  # warm
+    t0 = time.perf_counter()
+    resident_gat_test(eval_k, state, store, k=K, batch_size=batch)
+    res_bps = n_batches / (time.perf_counter() - t0)
+
+    eval_step = make_gat_eval_step(model)
+    loader = KmniLoader(batch, folder + "/train", crop=hw, shuffle=False)
+    test(eval_step, state, loader, mesh)  # warm the compile
+    loader = KmniLoader(batch, folder + "/train", crop=hw, shuffle=False)
+    t0 = time.perf_counter()
+    test(eval_step, state, loader, mesh)
+    str_bps = n_batches / (time.perf_counter() - t0)
+    return {"resident_eval_batches_per_sec": round(res_bps, 1),
+            "streaming_eval_batches_per_sec": round(str_bps, 1),
+            "speedup": round(res_bps / str_bps, 2),
+            "n_batches": n_batches, "batch": batch}
+
+
 # -------------------------------------------------------------- megastep
 
 def _time_megastep(mega, states, margs, K, n_programs=3, trials=4,

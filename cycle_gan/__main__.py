@@ -46,6 +46,12 @@ def main():
                              "program (amortizes per-program dispatch "
                              "overhead K-ways; decisive on remote-"
                              "attached chips)")
+    parser.add_argument("--resident", action="store_true",
+                        help="decode the training archive ONCE into device "
+                             "memory; epochs gather windows on-device and "
+                             "move only int32 index programs (the fix for "
+                             "per-batch host->device transfer walls; see "
+                             "data/resident.py)")
     parser.add_argument("--packed-g", dest="packed_g", default=None,
                         action="store_true",
                         help="compute the generators in 2x2 space-to-depth "
@@ -78,6 +84,7 @@ def main():
         out_dir=args.out_dir,
         save_epoch=args.save_epoch,
         resume=args.resume,
+        resident=args.resident,
         profile=args.profile,
         profile_trace_dir=args.profile_trace_dir,
         data_axis=args.data_axis,

@@ -62,7 +62,8 @@ class ResidentVideos:
 
     def __init__(self, video: np.ndarray, starts: np.ndarray, window: int,
                  mesh=None, *, power: float = 1.0,
-                 normalizing_max: float = 1.0):
+                 normalizing_max: float = 1.0,
+                 file_starts: list[np.ndarray] | None = None):
         put = (mesh.put_replicated if mesh is not None
                else functools.partial(jax.device_put))
         self.video = put(jnp.asarray(video, jnp.float32))
@@ -73,6 +74,12 @@ class ResidentVideos:
         # eval-time denormalization contract (streaming-loader parity)
         self.power = power
         self.normalizing_max = normalizing_max
+        # per-file start lists (host-side): eval_programs builds
+        # composition-faithful batches from these — the streaming loaders
+        # batch consecutive windows of ONE file (never spanning files),
+        # and the per-batch data-driven eval threshold makes batch
+        # COMPOSITION part of the metric contract
+        self.file_starts = file_starts or []
 
     # ------------------------------------------------------------ builders
     @classmethod
@@ -106,7 +113,8 @@ class ResidentVideos:
         if not chunks:
             raise ValueError(f"no usable videos under {folder!r}")
         return cls(np.concatenate(chunks), np.concatenate(starts), w, mesh,
-                   power=power, normalizing_max=max_value)
+                   power=power, normalizing_max=max_value,
+                   file_starts=starts)
 
     @classmethod
     def from_h5(cls, folder: str, mesh=None, *, in_seq_len: int = 4,
@@ -130,7 +138,40 @@ class ResidentVideos:
             offset += len(data)
         if not chunks:
             raise ValueError(f"no usable videos under {folder!r}")
-        return cls(np.concatenate(chunks), np.concatenate(starts), w, mesh)
+        return cls(np.concatenate(chunks), np.concatenate(starts), w, mesh,
+                   file_starts=starts)
+
+    @classmethod
+    def from_pt_frames(cls, folder: str, mesh=None, *, seq_len: int = 4,
+                       crop: int | None = 64):
+        """Coastal-sea ``.pt`` frame archives (the top-level
+        data_loader.py / cycle_gan family) -> one resident (sum_T, H, W)
+        array.
+
+        Window universe == :class:`~extended_gan_tpu.data.streaming.
+        CoastalSeaLoader`: NO truncation (the reference's truncation slice
+        is an operator-precedence no-op — streaming.py:92-97), every
+        stride-1 window of 2*seq_len frames within each file; the (T, 1,
+        H, W) channel dim squeezes away exactly as ``to_nhwc`` does on the
+        streaming path. Values are stored as-is (the coastal preprocessing
+        already normalized them)."""
+        w = 2 * seq_len
+        chunks, starts, offset = [], [], 0
+        for path in _list_video_files(folder):
+            data = np.asarray(load_array(path))
+            if len(data) < w:
+                continue
+            if data.ndim == 4:  # (T, 1, H, W)
+                data = data.squeeze(1)
+            if crop is not None:
+                data = data[:, :crop, :crop]
+            chunks.append(np.ascontiguousarray(data, np.float32))
+            starts.append(offset + np.arange(len(data) - w + 1))
+            offset += len(data)
+        if not chunks:
+            raise ValueError(f"no usable videos under {folder!r}")
+        return cls(np.concatenate(chunks), np.concatenate(starts), w, mesh,
+                   file_starts=starts)
 
     # ------------------------------------------------------------- epochs
     def epoch_programs(self, key, k: int, batch: int, *,
@@ -160,6 +201,47 @@ class ResidentVideos:
             dp = ("dcn", "data") if "dcn" in m.mesh.axis_names else "data"
             programs = jax.device_put(programs, m.sharding(None, None, dp))
         return programs
+
+    def eval_programs(self, k: int, batch: int):
+        """Composition-faithful eval index programs: (n_prog, K, B) int32
+        plus the total valid-sample count.
+
+        The streaming loaders batch CONSECUTIVE windows of one file (never
+        spanning files, within-batch shuffle only), and the eval threshold
+        is data-driven PER BATCH (median of uniques,
+        train.py:60-61 of the reference) — so batch composition is part of
+        the metric contract, not just the window multiset. This builds the
+        exact same batches: per file, consecutive chunks of ``batch``
+        windows, ragged tails -1-padded, size-<=1 batches dropped (the
+        streaming ``test()`` skips them). All per-batch metrics are sums /
+        within-batch order-invariant, so the result matches the streaming
+        eval REGARDLESS of the loader's file-order or within-batch
+        shuffling (KmniLoader "batch" mode).
+        """
+        rows = []
+        total = 0
+        for fs in self.file_starts:
+            for i in range(0, len(fs), batch):
+                chunk = fs[i:i + batch]
+                if len(chunk) <= 1:
+                    continue
+                row = np.full((batch,), -1, np.int64)
+                row[: len(chunk)] = chunk
+                rows.append(row)
+                total += len(chunk)
+        if not rows:
+            raise ValueError("no eval batches (every file yields <= 1 "
+                             "window at this batch size)")
+        n_prog = math.ceil(len(rows) / k)
+        pad = n_prog * k - len(rows)
+        rows.extend([np.full((batch,), -1, np.int64)] * pad)
+        programs = jnp.asarray(
+            np.stack(rows).reshape(n_prog, k, batch), jnp.int32)
+        if self._mesh is not None:
+            m = self._mesh
+            dp = ("dcn", "data") if "dcn" in m.mesh.axis_names else "data"
+            programs = jax.device_put(programs, m.sharding(None, None, dp))
+        return programs, total
 
     def program_sample_counts(self, n_programs: int, k: int,
                               batch: int) -> list[int]:
@@ -216,6 +298,138 @@ def make_gat_resident_megastep(model, tx, *, time_steps: int = 4,
 
         state, stacked = jax.lax.scan(scan_body, state, (starts, rngs))
         return state, _aggregate_megastep_logs(stacked)
+
+    return megastep
+
+
+def _median_of_uniques(vals):
+    """On-device twin of the reference's data-driven eval threshold
+    (convolutional_gat/train.py:60-61): ``unique = np.unique(y); thr =
+    unique[int(len(unique) * 0.5)]``. ``np.unique`` has a data-dependent
+    output shape, so instead: sort, mark first occurrences, and pick the
+    value whose DISTINCT rank is floor(n_unique/2) + 1 — identical result,
+    static shapes throughout."""
+    u = jnp.sort(vals.reshape(-1))
+    isf = jnp.concatenate(
+        [jnp.ones((1,), jnp.int32), (u[1:] != u[:-1]).astype(jnp.int32)])
+    target = jnp.sum(isf) // 2 + 1  # 1-based rank of unique[floor(n/2)]
+    ranks = jnp.cumsum(isf)
+    return u[jnp.argmax(ranks == target)]
+
+
+def make_gat_resident_eval(model, *, time_steps: int = 4,
+                           power: float = 1.0,
+                           normalizing_max: float = 1.0):
+    """K eval batches per XLA program over a RESIDENT validation store.
+
+    The streaming eval (gat_trainer.test) pays a host->device batch copy
+    plus a threshold-computing host pass per val batch — on a
+    relay-attached chip that makes epoch wall-clock EVAL-dominated once
+    training goes resident. Here the val split lives in HBM, the
+    per-batch median-of-uniques threshold computes on device
+    (:func:`_median_of_uniques`), and each program returns ONE (6,)
+    metric-sum vector. Padded (-1) rows contribute nothing: their metric
+    rows are masked, and the threshold sees row 0's values in their place
+    (duplicates never change a unique SET, so the threshold is exactly
+    the valid rows').
+
+    Signature: ``eval_k(state, video, starts) -> (6,)`` summing
+    [loss_num, denorm_num, acc, prec, rec, n] over the K batches, with
+    NaN prec/rec (empty positive sets) counted as 0 exactly like the
+    host accumulation in gat_trainer.test.
+    """
+    from ..train.gat_trainer import _eval_metrics
+
+    w = 2 * time_steps
+
+    @jax.jit
+    def eval_k(state, video, starts):
+        variables = {"params": state.params}
+        if state.batch_stats:
+            variables["batch_stats"] = state.batch_stats
+
+        def scan_body(acc, st):
+            mask = (st >= 0).astype(jnp.float32)
+            idx = jnp.maximum(st, 0)[:, None] + jnp.arange(w)
+            wins = jnp.moveaxis(video[idx], 1, 3)  # (B, H, W, 2S, V)
+            x = wins[..., :time_steps, :]
+            y = wins[..., time_steps:, :]
+            y_hat = model.apply(variables, x, train=False)
+            inv = 1.0 / power
+            y_p = y ** inv if power != 1.0 else y
+            m = mask.reshape((-1,) + (1,) * (y.ndim - 1))
+            thr = _median_of_uniques(jnp.where(m > 0, y_p, y_p[0:1]))
+            out = _eval_metrics(y_hat, y, mask, thr, normalizing_max,
+                                power)
+            row = jnp.stack([
+                out["loss_num"], out["denorm_num"], out["acc"],
+                jnp.nan_to_num(out["prec"]), jnp.nan_to_num(out["rec"]),
+                out["n"],
+            ])
+            return acc + row, None
+
+        acc, _ = jax.lax.scan(scan_body, jnp.zeros((6,), jnp.float32),
+                              starts)
+        return acc
+
+    return eval_k
+
+
+def resident_gat_test(eval_k, state, store: ResidentVideos, *,
+                      k: int = 8, batch_size: int = 64,
+                      flag: str = "val") -> dict:
+    """Drop-in for gat_trainer.test over a resident val store: same
+    return keys, metric sums fetched once per K-batch program."""
+    programs, total = store.eval_programs(k, batch_size)
+    sums = np.zeros((6,), np.float64)
+    pending = [eval_k(state, store.video, programs[i])
+               for i in range(int(programs.shape[0]))]
+    for acc in jax.device_get(pending):
+        sums += np.asarray(acc, np.float64)
+    total = max(total, 1)
+    return {
+        f"{flag}_loss": float(sums[0]) / total,
+        f"{flag}_acc": float(sums[2]) / total,
+        f"{flag}_prec": float(sums[3]) / total,
+        f"{flag}_rec": float(sums[4]) / total,
+        f"{flag}_denorm_mse": float(sums[1]) / total,
+    }
+
+
+def make_cyclegan_resident_megastep(g_xy_model, g_yx_model, d_x_model,
+                                    d_y_model, g_xy_tx, g_yx_tx, d_x_tx,
+                                    d_y_tx, *, seq_len: int = 4,
+                                    cycle_lambda: float = 10.0):
+    """K fused CycleGAN steps per program with on-device batch gathers.
+
+    Signature: ``megastep(states, video, starts, rngs)``; ``video`` is
+    the resident (sum_T, H, W) coastal frame array from
+    :meth:`ResidentVideos.from_pt_frames`. The gather lands directly in
+    the trainer's NHWC frames-as-channels layout (x: (B, H, W, seq),
+    y: same). Update math == ``make_cyclegan_megastep`` (shared step
+    body, tests/test_resident.py).
+    """
+    from ..train.cyclegan_trainer import _make_cyclegan_step_body
+
+    body = _make_cyclegan_step_body(
+        g_xy_model, g_yx_model, d_x_model, d_y_model,
+        g_xy_tx, g_yx_tx, d_x_tx, d_y_tx, cycle_lambda=cycle_lambda,
+    )
+    w = 2 * seq_len
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def megastep(states, video, starts, rngs):
+        def scan_body(s, inp):
+            st, rng = inp
+            mask = (st >= 0).astype(jnp.float32)
+            idx = jnp.maximum(st, 0)[:, None] + jnp.arange(w)
+            wins = jnp.moveaxis(video[idx], 1, -1)  # (B, H, W, 2*seq)
+            s, logs = body(s, wins[..., :seq_len], wins[..., seq_len:],
+                           mask, rng)
+            return s, logs
+
+        states, stacked = jax.lax.scan(scan_body, states, (starts, rngs))
+        return states, _aggregate_megastep_logs(stacked)
 
     return megastep
 

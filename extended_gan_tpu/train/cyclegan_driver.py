@@ -97,6 +97,7 @@ def train(
     spatial: bool = False,
     packed_g: bool | None = None,
     megastep: int = 0,
+    resident: bool = False,
 ):
     """``save_epoch`` > 0 checkpoints the full 4-net state (params + BN
     stats + Adam moments + PRNG stream + epoch + history) every N epochs;
@@ -138,12 +139,49 @@ def train(
         precision=precision, seed=seed, packed_g=packed_g,
     )
     megastep_fn = None
-    if megastep > 1:
+    if megastep > 1 and not resident:
         from .cyclegan_trainer import make_cyclegan_megastep
 
         megastep_fn = make_cyclegan_megastep(
             *models, *txs, cycle_lambda=cycle_lambda)
         print(f"[megastep] {megastep} steps per XLA program")
+
+    # Device-resident training archive (--resident): the coastal .pt
+    # frames transfer to HBM once; epochs gather windows on-device and
+    # move only (K, B) int32 index programs — the dcgan/conv-GAT twins'
+    # third sibling (data/resident.py).
+    resident_store = None
+    resident_megastep_fn = None
+    resident_k = 0
+    if resident:
+        if spatial:
+            raise ValueError(
+                "--resident does not compose with --spatial: the resident "
+                "gather runs INSIDE the jitted program and lands the "
+                "batch DP-sharded over 'data'; SP would need an in-"
+                "program reshard (an all-to-all per step) that recreates "
+                "the transfer cost resident mode removes. Use --spatial "
+                "with the streaming path, or --resident without SP")
+        if train_batch_size % max(mesh.n_data, 1):
+            raise ValueError(
+                f"train_batch_size {train_batch_size} not divisible by "
+                f"the mesh data axis {mesh.n_data} (resident programs "
+                "shard the batch over 'data')")
+        from ..data.resident import (
+            ResidentVideos,
+            make_cyclegan_resident_megastep,
+        )
+
+        resident_store = ResidentVideos.from_pt_frames(
+            os.path.join(data_location, "train"), mesh, seq_len=nc,
+            crop=imsize)
+        resident_k = megastep if megastep > 1 else 8
+        resident_megastep_fn = make_cyclegan_resident_megastep(
+            *models, *txs, seq_len=nc, cycle_lambda=cycle_lambda)
+        mb = resident_store.video.nbytes / 1e6
+        print(f"[resident] {resident_store.n_windows} windows / "
+              f"{mb:.0f} MB live in device memory; K={resident_k} "
+              "steps per program, index-only transfers")
 
     def place(s: CycleGANStates) -> CycleGANStates:
         s = mesh.put_replicated(s)
@@ -202,7 +240,12 @@ def train(
             # batches (identical RNG draws -> bit-identical continuation)
             skip = int(mid["batch"]) if epoch == start_epoch else 0
             train_it = iter(train_loader)
-            if skip:
+            if skip and resident_store is not None:
+                # resident epochs replay by program index (n_done below);
+                # the streaming iterator is unused on that path
+                print(f"[resume] resident replay: {skip} consumed batches "
+                      f"of epoch {epoch}")
+            elif skip:
                 print(f"[resume] skipping {skip} consumed batches of "
                       f"epoch {epoch}")
                 for _ in range(skip):
@@ -221,9 +264,32 @@ def train(
                 profiler.start_epoch()
             pending = []
             interrupted = False
-            if megastep_fn is not None:
-                import jax.numpy as jnp
+            if resident_store is not None:
+                import math as _math
 
+                import jax as _jax
+
+                perm_key = _jax.random.fold_in(
+                    _jax.random.PRNGKey(seed), epoch)
+                progs = resident_store.epoch_programs(
+                    perm_key, resident_k, train_batch_size)
+                n_prog = int(progs.shape[0])
+                if max_batches:
+                    n_prog = min(n_prog,
+                                 _math.ceil(max_batches / resident_k))
+                start_prog = n_done // resident_k  # resume, in programs
+                for i in range(start_prog, n_prog):
+                    rngs = jnp.stack(
+                        [keys.next() for _ in range(resident_k)])
+                    with step_cm():
+                        states, logs = resident_megastep_fn(
+                            states, resident_store.video, progs[i], rngs)
+                    pending.append(logs["train_mse_nd"])
+                    n_done += resident_k
+                    if shutdown.requested:
+                        interrupted = True
+                        break
+            elif megastep_fn is not None:
                 from .dcgan_trainer import _megafeed
 
                 next_log = skip  # batch index of the next periodic print

@@ -204,8 +204,13 @@ def train(
     resident_k = 0
     if resident:
         if spatial:
-            raise ValueError("--resident does not compose with --spatial "
-                             "yet (the gathered batch is DP-sharded)")
+            raise ValueError(
+                "--resident does not compose with --spatial: the resident "
+                "gather runs INSIDE the jitted program and lands the "
+                "batch DP-sharded over 'data'; SP would need an in-"
+                "program reshard (an all-to-all per step) that recreates "
+                "the transfer cost resident mode removes. Use --spatial "
+                "with the streaming path, or --resident without SP")
         if train_batch_size % max(mesh.n_data, 1):
             raise ValueError(
                 f"train_batch_size {train_batch_size} not divisible by "

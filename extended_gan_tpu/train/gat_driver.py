@@ -72,6 +72,7 @@ def train_single_epoch(
     resident_megastep_fn=None,
     resident_k: int = 0,
     resident_perm_seed: int = 0,
+    resident_eval_fn=None,
 ):
     """== convolutional_gat/train.py:94-155.
 
@@ -90,7 +91,15 @@ def train_single_epoch(
     steps (the snapshot still lands on an exact loader-batch boundary, so
     resume stays exact).
     """
-    train_loader, val_loader, _test_loader = loader_factory(epoch=epoch)
+    fully_resident = (resident_store is not None
+                      and resident_eval_fn is not None)
+    if fully_resident:
+        # both train and eval run from HBM-resident stores: constructing
+        # the streaming loaders (which decode their first file eagerly)
+        # would be pure waste
+        train_loader = val_loader = None
+    else:
+        train_loader, val_loader, _test_loader = loader_factory(epoch=epoch)
     print(f"\nEpoch: {epoch}")
     print(f"LR: {scheduler.current()}")
     running_loss, total_length = float(init_running[0]), int(init_running[1])
@@ -99,7 +108,7 @@ def train_single_epoch(
     step_cm = step_context(profiler)
     if profiler is not None:
         profiler.start_epoch()
-    train_it = iter(train_loader)
+    train_it = iter(train_loader) if train_loader is not None else iter(())
     if start_batch and resident_store is not None:
         # resident epochs replay by program index below; the streaming
         # iterator is unused (start_batch counts PROGRAMS on this path)
@@ -205,7 +214,11 @@ def train_single_epoch(
     print(f"Train loss: {round(float(train_loss), 6)}")
     history["train_loss"].append(float(train_loss))
 
-    test_result = test(eval_step, state, val_loader, mesh, spatial=spatial)
+    if resident_eval_fn is not None:
+        test_result = resident_eval_fn(state)
+    else:
+        test_result = test(eval_step, state, val_loader, mesh,
+                           spatial=spatial)
     new_lr = scheduler.step(test_result["val_loss"])
     set_learning_rate(state.opt_state, new_lr)
     print(json.dumps(test_result, indent=4))
@@ -450,6 +463,7 @@ def train(
     # 1.6-4.7% of the device rate; resident runs at ~the synthetic rate).
     resident_store = None
     resident_megastep_fn = None
+    resident_eval_fn = None
     resident_k = 0
     if resident:
         if dataset not in ("kmni", "synthetic"):
@@ -460,8 +474,17 @@ def train(
             raise ValueError("--resident and --pipeline-stages are "
                              "mutually exclusive (launch one)")
         if spatial:
-            raise ValueError("--resident does not compose with --spatial "
-                             "yet (the gathered batch is DP-sharded)")
+            raise ValueError(
+                "--resident does not compose with --spatial: the resident "
+                "gather runs INSIDE the jitted program and lands the "
+                "batch DP-sharded over 'data'; SP would need an in-"
+                "program reshard of every gathered batch onto the "
+                "('data', 'model') frame-axis layout — an all-to-all per "
+                "step that recreates the transfer cost resident mode "
+                "exists to remove. Use --spatial with the streaming path "
+                "(it shards on the host->device transfer), or --resident "
+                "without SP: the resident workloads fit one chip's HBM "
+                "by construction")
         if train_batch_size % max(mesh.n_data, 1):
             raise ValueError(
                 f"train_batch_size {train_batch_size} not divisible by "
@@ -469,7 +492,9 @@ def train(
                 "shard the batch over 'data')")
         from ..data.resident import (
             ResidentVideos,
+            make_gat_resident_eval,
             make_gat_resident_megastep,
+            resident_gat_test,
         )
 
         folder = preprocessed_folder
@@ -484,8 +509,23 @@ def train(
         resident_megastep_fn = make_gat_resident_megastep(
             model, tx, time_steps=steps, remat=remat, criterion=criterion,
             moe_aux_weight=aux_w)
-        mb = resident_store.video.nbytes / 1e6
-        print(f"[resident] {resident_store.n_windows} windows / "
+        # the val split goes resident too (it is the smaller split): eval
+        # batches gather on-device and each K-batch program returns one
+        # (6,) metric-sum vector — without this, epoch wall-clock on a
+        # relay rig is EVAL-dominated once training stops streaming
+        resident_val_store = ResidentVideos.from_kmni(
+            os.path.join(folder, "test"), mesh, time_steps=steps,
+            crop=downsample_size[0])
+        resident_eval_k = make_gat_resident_eval(
+            model, time_steps=steps, power=resident_val_store.power,
+            normalizing_max=resident_val_store.normalizing_max)
+        resident_eval_fn = lambda st: resident_gat_test(  # noqa: E731
+            resident_eval_k, st, resident_val_store, k=resident_k,
+            batch_size=test_batch_size)
+        mb = (resident_store.video.nbytes
+              + resident_val_store.video.nbytes) / 1e6
+        print(f"[resident] {resident_store.n_windows} train + "
+              f"{resident_val_store.n_windows} val windows / "
               f"{mb:.0f} MB live in device memory; K={resident_k} "
               "steps per program, index-only transfers")
 
@@ -587,6 +627,7 @@ def train(
                 resident_store=resident_store,
                 resident_megastep_fn=resident_megastep_fn,
                 resident_k=resident_k, resident_perm_seed=seed,
+                resident_eval_fn=resident_eval_fn,
             )
             if mid_out is not None:
                 # step-granular preemption: snapshot inside the epoch

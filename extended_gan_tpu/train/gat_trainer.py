@@ -159,6 +159,39 @@ def make_gat_megastep(model, tx, *, remat: bool = False,
     return wrap_megastep(body)
 
 
+def _eval_metrics(y_hat, y, mask, threshold, normalizing_max, power):
+    """The per-batch eval metric math — shared by the streaming eval step
+    and the device-resident eval program (data/resident.py), so the two
+    paths cannot drift."""
+    inv = 1.0 / power
+    y_p = y ** inv if power != 1.0 else y
+    y_hat_p = jnp.maximum(y_hat, 0.0) ** inv if power != 1.0 else y_hat
+    m = mask.reshape((-1,) + (1,) * (y.ndim - 1))
+    per_sample = jnp.float32(y[0].size)
+    n_valid = jnp.sum(mask)
+    sq = jnp.sum(((y_p - y_hat_p) ** 2) * m)
+    denorm_sq = jnp.sum((((y_p - y_hat_p) * normalizing_max) ** 2) * m)
+    # mask-exact thresholded metrics (== utils.py:135-167 on the valid
+    # rows; prec/rec scaled by the VALID batch length)
+    mb = jnp.broadcast_to(m, y.shape)
+    yb = (y_p >= threshold).astype(jnp.float32)
+    pb = (y_hat_p >= threshold).astype(jnp.float32)
+    acc = jnp.sum((yb == pb) * mb) / per_sample
+    tp = jnp.sum((pb == 1) * (yb == 1) * mb)
+    fp = jnp.sum((pb == 1) * (yb == 0) * mb)
+    fn = jnp.sum((pb == 0) * (yb == 1) * mb)
+    prec = tp / (tp + fp) * n_valid
+    rec = tp / (tp + fn) * n_valid
+    return {
+        "loss_num": sq / per_sample,
+        "denorm_num": denorm_sq / per_sample,
+        "acc": acc,
+        "prec": prec,
+        "rec": rec,
+        "n": n_valid,
+    }
+
+
 def make_gat_eval_step(model, forward_override=None):
     """``forward_override(params, x) -> y_hat`` swaps the forward (the PP
     path) while the metric math stays shared."""
@@ -173,34 +206,10 @@ def make_gat_eval_step(model, forward_override=None):
             if state.batch_stats:
                 variables["batch_stats"] = state.batch_stats
             y_hat = model.apply(variables, x, train=False)
-        inv = 1.0 / power
-        y_p = y ** inv if power != 1.0 else y
-        y_hat_p = jnp.maximum(y_hat, 0.0) ** inv if power != 1.0 else y_hat
-        m = mask.reshape((-1,) + (1,) * (y.ndim - 1))
-        per_sample = jnp.float32(y[0].size)
-        n_valid = jnp.sum(mask)
-        sq = jnp.sum(((y_p - y_hat_p) ** 2) * m)
-        denorm_sq = jnp.sum((((y_p - y_hat_p) * normalizing_max) ** 2) * m)
-        # mask-exact thresholded metrics (== utils.py:135-167 on the valid
-        # rows; prec/rec scaled by the VALID batch length)
-        mb = jnp.broadcast_to(m, y.shape)
-        yb = (y_p >= threshold).astype(jnp.float32)
-        pb = (y_hat_p >= threshold).astype(jnp.float32)
-        acc = jnp.sum((yb == pb) * mb) / per_sample
-        tp = jnp.sum((pb == 1) * (yb == 1) * mb)
-        fp = jnp.sum((pb == 1) * (yb == 0) * mb)
-        fn = jnp.sum((pb == 0) * (yb == 1) * mb)
-        prec = tp / (tp + fp) * n_valid
-        rec = tp / (tp + fn) * n_valid
-        return {
-            "loss_num": sq / per_sample,
-            "denorm_num": denorm_sq / per_sample,
-            "acc": acc,
-            "prec": prec,
-            "rec": rec,
-            "n": n_valid,
-            "y_hat": y_hat,
-        }
+        out = _eval_metrics(y_hat, y, mask, threshold, normalizing_max,
+                            power)
+        out["y_hat"] = y_hat
+        return out
 
     return eval_step
 

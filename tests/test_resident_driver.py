@@ -94,3 +94,21 @@ def test_resident_guard_rails(kmni_data, tmp_path):
     with pytest.raises(ValueError, match="not divisible"):
         train(resident=True, train_batch_size=6, **{
             k: v for k, v in common.items() if k != "train_batch_size"})
+
+
+@pytest.mark.slow
+def test_cyclegan_driver_resident_trains(tmp_path):
+    """`python -m cycle_gan --resident` end-to-end (round-5 scope
+    extension: the coastal .pt family goes resident too)."""
+    from extended_gan_tpu.data.synthetic import ensure_synthetic_coastal
+    from extended_gan_tpu.train.cyclegan_driver import train as cg_train
+
+    data = ensure_synthetic_coastal(str(tmp_path / "coastal"),
+                                    frames_per_file=24, h=64, w=64)
+    _, history = cg_train(
+        data_location=data, epochs=1, train_batch_size=8,
+        test_batch_size=8, max_batches=4, resident=True, megastep=2,
+        out_dir=str(tmp_path / "out"), seed=3,
+    )
+    assert np.isfinite(history.history["pred_mse"][-1])
+    assert np.isfinite(history.history["cycle_l1"][-1])
