@@ -133,6 +133,79 @@ def fetch(in_dir: str, dataset: str, version: str, api_key: str,
     return n_done
 
 
+def iter_api_files(dataset: str, version: str, api_key: str):
+    """Yield {filename, size} entries from the Open Data API pager."""
+    start_after = ""
+    while True:
+        url = (f"{API_BASE}/datasets/{dataset}/versions/{version}/files"
+               f"?maxKeys=500&startAfterFilename={start_after}")
+        page = _api_get(url, api_key)
+        files = page.get("files", [])
+        if not files:
+            return
+        for entry in files:
+            start_after = entry["filename"]
+            yield entry
+        if not page.get("isTruncated"):
+            return
+        time.sleep(0.1)
+
+
+def check_manifest(in_dir: str, entries, start: int | None,
+                   end: int | None) -> dict:
+    """Compare on-disk files against the API's listing (pure; offline-
+    testable). A partial or truncated fetch would otherwise silently
+    produce a *biased* dataset — radar archives are time-ordered, so
+    missing tails skew the season mix. Returns {present, missing,
+    size_mismatch, extra}; a healthy archive has empty missing and
+    size_mismatch lists."""
+    root = Path(in_dir)
+    expected: dict[str, int | None] = {}
+    for entry in entries:
+        fname = entry["filename"]
+        if not _in_range(fname, start, end):
+            continue
+        ym = _parse_month(fname)
+        if ym is None:
+            continue
+        expected[str(Path(ym[0]) / ym[1] / fname)] = entry.get("size")
+    on_disk = {}
+    if root.is_dir():
+        for p in root.rglob("*.h5"):
+            on_disk[str(p.relative_to(root))] = p.stat().st_size
+    missing = sorted(k for k in expected if k not in on_disk)
+    size_mismatch = sorted(
+        k for k, sz in expected.items()
+        if k in on_disk and sz is not None and int(sz) != on_disk[k])
+    extra = sorted(k for k in on_disk if k not in expected)
+    present = len(expected) - len(missing)
+    return {"present": present, "expected": len(expected),
+            "missing": missing, "size_mismatch": size_mismatch,
+            "extra": extra}
+
+
+def verify_manifest(in_dir: str, dataset: str, version: str, api_key: str,
+                    start: int | None, end: int | None) -> int:
+    report = check_manifest(in_dir, iter_api_files(dataset, version,
+                                                   api_key), start, end)
+    print(f"[verify] {report['present']}/{report['expected']} expected "
+          f"files present, {len(report['missing'])} missing, "
+          f"{len(report['size_mismatch'])} size mismatches, "
+          f"{len(report['extra'])} extra local files")
+    for k in report["missing"][:20]:
+        print(f"[verify]   missing: {k}")
+    for k in report["size_mismatch"][:20]:
+        print(f"[verify]   size mismatch: {k}")
+    if report["missing"] or report["size_mismatch"]:
+        print("[verify] FAIL — the local archive does not match the "
+              "API manifest; re-run the fetch (existing files are "
+              "skipped) before preprocessing, or the dataset will be "
+              "seasonally biased")
+        return 1
+    print("[verify] OK — local archive matches the API manifest")
+    return 0
+
+
 def synthesize_dry_run(in_dir: str, months: int = 2, frames_per_day: int = 12,
                        days_per_month: int = 2, seed: int = 7) -> int:
     """Write a miniature synthetic archive with the real files' schema.
@@ -195,6 +268,11 @@ def main(argv=None) -> int:
     p.add_argument("--dry-run", action="store_true",
                    help="no network: synthesize a miniature archive with "
                         "the real schema so the recipe runs offline")
+    p.add_argument("--verify-manifest", action="store_true",
+                   help="compare the local archive against the API's file "
+                        "listing (names + sizes); exits 1 on any missing/"
+                        "mismatched file so a partial fetch cannot "
+                        "silently produce a biased dataset")
     args = p.parse_args(argv)
 
     def month_arg(s):
@@ -212,6 +290,10 @@ def main(argv=None) -> int:
               "or set $KNMI_API_KEY (or use --dry-run for the offline "
               "rehearsal).", file=sys.stderr)
         return 2
+    if args.verify_manifest:
+        return verify_manifest(args.in_dir, args.dataset,
+                               args.dataset_version, args.api_key,
+                               month_arg(args.start), month_arg(args.end))
     n = fetch(args.in_dir, args.dataset, args.dataset_version, args.api_key,
               month_arg(args.start), month_arg(args.end), args.max_files,
               args.list_only)

@@ -90,3 +90,33 @@ def test_month_range_filter():
     assert not fetch_kmni._in_range(
         "RAD_NL25_RAC_RT_201601010000.h5", k("2017", "01"), None)
     assert not fetch_kmni._in_range("no_timestamp_here.h5", None, None)
+
+
+def test_verify_manifest_check(tmp_path):
+    """check_manifest flags missing files and size mismatches against an
+    API listing (pure function — the offline rehearsal of
+    --verify-manifest)."""
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    import fetch_kmni
+
+    root = tmp_path / "arch"
+    names = [f"RAD_NL25_RAC_RT_2016010100{m:02d}.h5" for m in (0, 5, 10)]
+    for n in names[:2]:  # third file deliberately missing
+        p = root / "2016" / "01" / n
+        p.parent.mkdir(parents=True, exist_ok=True)
+        p.write_bytes(b"x" * 100)
+    entries = [{"filename": n, "size": 100} for n in names]
+    entries[1]["size"] = 999  # deliberate mismatch
+    rep = fetch_kmni.check_manifest(str(root), entries, None, None)
+    assert rep["expected"] == 3 and rep["present"] == 2
+    assert rep["missing"] == ["2016/01/" + names[2]]
+    assert rep["size_mismatch"] == ["2016/01/" + names[1]]
+    assert rep["extra"] == []
+
+    # month-range filter applies to the manifest too
+    k = fetch_kmni._month_key
+    rep = fetch_kmni.check_manifest(
+        str(root), [{"filename": n, "size": 100} for n in names],
+        k("2016", "02"), None)
+    assert rep["expected"] == 0
+    assert rep["extra"]  # local files outside the range are reported
