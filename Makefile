@@ -19,6 +19,12 @@ I ?= 1
 test-shard:
 	python scripts/test_shard.py --shards $(N) --index $(I) -- -q -m "not slow"
 
+# the slow/golden tier in bounded slices (~<=10 min each on a 1-core box
+# at N=4; docs/TESTING.md has measured times):
+#   make test-slow-shard N=4 I=1 ... I=4
+test-slow-shard:
+	python scripts/test_shard.py --shards $(N) --index $(I) -- -q -m "slow"
+
 bench:
 	python bench.py
 

@@ -82,7 +82,15 @@ def main(argv=None) -> int:
     rel = [os.path.relpath(f, REPO) for f in shard]
     print(f"shard {args.index}/{args.shards}: {len(rel)} files")
     cmd = [sys.executable, "-m", "pytest", *rel, *args.pytest_args]
-    return subprocess.call(cmd, cwd=REPO)
+    rc = subprocess.call(cmd, cwd=REPO)
+    if rc == 5:
+        # pytest exit 5 = "no tests collected": expected when a marker
+        # filter (e.g. the slow tier, `make test-slow-shard`) leaves a
+        # shard's files empty — not a failure
+        print(f"shard {args.index}/{args.shards}: no tests matched the "
+              "filter (ok)")
+        return 0
+    return rc
 
 
 if __name__ == "__main__":
