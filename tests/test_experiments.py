@@ -158,7 +158,8 @@ def test_all_committed_experiment_configs_parse():
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "convolutional_gat", "experiments",
     )
-    names = sorted(os.listdir(base))
+    names = sorted(d for d in os.listdir(base)
+                   if os.path.isdir(os.path.join(base, d)))
     assert len(names) >= 36  # 33 ref-parity dirs (incl. legacy) + demo/synthetic
     from extended_gan_tpu.models.registry import model_classes
 
