@@ -77,7 +77,11 @@ class _Mapping(nn.Module):
     nhid: int
     mapping_type: str = "linear"
     conv_hidden: int = 74
-    use_pallas: bool = False
+    use_pallas: bool = False  # NOTE: opt-in and NOT implied by the model-
+    # level use_pallas: measured 13x SLOWER than the XLA convs in the full
+    # train step (BENCH_NOTES round 5 "fused mapping") — the sequential
+    # Pallas grid serializes hundreds of small-matmul cells where XLA's
+    # convs already run near the HBM roofline
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -95,12 +99,10 @@ class _Mapping(nn.Module):
         if self.mapping_type == "conv" and self.use_pallas and h == w:
             # ONE Pallas program for the whole bottleneck: the 74-wide
             # intermediates live in VMEM instead of round-tripping HBM
-            # between convs — the step's HBM-roofline fix
-            # (probe_gat_decomp.py: ~1.8 GB/step at b32, mappings own
-            # most of it). Params are nn.Conv-identical (_ConvParams),
-            # so checkpoints swap freely between the two paths. Compute
-            # is exact f32 (HIGHEST) — tighter than XLA's default
-            # bf16-pass convs.
+            # between convs. Params are nn.Conv-identical (_ConvParams),
+            # so checkpoints swap freely between the two paths; compute
+            # is exact f32 (HIGHEST). Opt-in, measured SLOWER than XLA
+            # in the train step so far (see the class-field note).
             from ...ops.pallas.gat_mapping import fused_conv_bottleneck
 
             k1, b1 = _ConvParams(self.conv_hidden, t, (3, 3),
@@ -145,6 +147,7 @@ class GAT3DHead(nn.Module):
     type_: str = "temporal"
     mapping_type: str = "linear"
     use_pallas: bool = False  # fused single-kernel attention (temporal)
+    use_pallas_mapping: bool = False  # fused conv bottleneck (see _Mapping)
     dtype: Any = jnp.float32
 
     def _attend(self, mapped, axis_name: str):
@@ -188,7 +191,7 @@ class GAT3DHead(nn.Module):
     def __call__(self, x, *, train: bool = True):
         mapped = _Mapping(
             self.nfeat, self.nhid, self.mapping_type, dtype=self.dtype,
-            use_pallas=self.use_pallas, name="mapping",
+            use_pallas=self.use_pallas_mapping, name="mapping",
         )(x, train=train).astype(jnp.float32)
         if self.type_ == "temporal":
             out, elu_done = self._attend(mapped, "temporal")
@@ -224,6 +227,7 @@ class GATMultiHead3D(nn.Module):
     image_width: int = 0    # inferred from inputs at trace time
     n_vertices: int = 0
     use_pallas: bool = False
+    use_pallas_mapping: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -233,6 +237,7 @@ class GATMultiHead3D(nn.Module):
             n_vertices=self.n_vertices or x.shape[-1],
             alpha=self.alpha, type_=self.type_,
             mapping_type=self.mapping_type, use_pallas=self.use_pallas,
+            use_pallas_mapping=self.use_pallas_mapping,
             dtype=self.dtype,
         )
         if self.mapping_type == "smaat_unet":
@@ -271,6 +276,7 @@ class Model(nn.Module):
     mapping_type: str = "linear"
     time_steps: int = 4
     use_pallas: bool = False
+    use_pallas_mapping: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -280,6 +286,7 @@ class Model(nn.Module):
             type_=self.attention_type, mapping_type=self.mapping_type,
             image_height=self.image_height, image_width=self.image_width,
             n_vertices=self.n_vertices, use_pallas=self.use_pallas,
+            use_pallas_mapping=self.use_pallas_mapping,
             dtype=self.dtype,
         )
         x = GATMultiHead3D(nheads=3, name="hidden_layer", **common)(

@@ -82,19 +82,67 @@ def main():
     def consume(tree):
         return sum(jnp.sum(leaf) for leaf in jax.tree_util.tree_leaves(tree))
 
-    for label, use_pallas in (("xla", False), ("fused", True)):
-        m, p = build(use_pallas)
+    # ---- im2col-matmul reformulation (plain XLA, no Pallas) -------------
+    # XLA's conv lowering at these tiny channel counts reports ~2.5x the
+    # naive activation bytes (cost analysis 1.79 GB/step vs ~0.7 GB hand
+    # count) — internal layout padding/transposes. Express the 3x3 convs
+    # as explicit 9-shift patch matmuls instead: dot_generals on
+    # (positions, taps*C) operands with clean (8,128) layouts.
+    _, p_ref = build(False)
 
+    def _patches(y):  # (N, H, W, C) -> (N, H, W, 9C)
+        yp = jnp.pad(y, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        return jnp.concatenate(
+            [yp[:, dy:dy + hw, dx:dx + hw, :] for dy in range(3)
+             for dx in range(3)], axis=-1)
+
+    hp = jax.lax.Precision.HIGHEST
+
+    def im2col_head(y, hp_params):
+        c1 = hp_params["conv1"]
+        w1 = c1["kernel"].reshape(9 * T, -1)
+        h1 = jnp.maximum(
+            jnp.einsum("nhwk,kf->nhwf", _patches(y), w1, precision=hp)
+            + c1["bias"], 0.0)
+        c2 = hp_params["conv2"]
+        h2 = jnp.maximum(
+            jnp.einsum("nhwk,kf->nhwf", h1, c2["kernel"][0, 0],
+                       precision=hp) + c2["bias"], 0.0)
+        c3 = hp_params["conv3"]
+        w3 = c3["kernel"].reshape(9 * h1.shape[-1], -1)
+        return jnp.einsum("nhwk,kf->nhwf", _patches(h2), w3,
+                          precision=hp) + c3["bias"]
+
+    def im2col_apply(pp, x):
+        b, h, w, t, v = x.shape
+        xb = x.transpose(0, 4, 1, 2, 3).reshape(b * v, h, w, t)
+        out = jax.vmap(lambda hp_: im2col_head(xb, hp_))(pp)
+        return out.reshape(3, b, v, h, w, T).transpose(0, 1, 3, 4, 5, 2)
+
+    def variants():
+        m_x, p_x = build(False)
+        yield ("xla", lambda pp, xx: m_x.apply({"params": pp}, xx), p_x)
+        yield ("im2col", im2col_apply, p_x)
+        m_f, p_f = build(True)
+        yield ("fused", lambda pp, xx: m_f.apply({"params": pp}, xx), p_f)
+
+    for label, apply_fn, p in variants():
         def fwd(carry, x):
-            return jnp.float32(
-                jnp.mean(m.apply({"params": p}, x + carry * 1e-9)))
+            return jnp.float32(jnp.mean(apply_fn(p, x + carry * 1e-9)))
 
         def fwdbwd(carry, x):
             def loss(pp):
-                return jnp.mean(
-                    m.apply({"params": pp}, x + carry * 1e-9) ** 2)
+                return jnp.mean(apply_fn(pp, x + carry * 1e-9) ** 2)
 
             return jnp.float32(consume(jax.grad(loss)(p)))
+
+        # parity vs the nn.Conv composition before timing
+        if label == "im2col":
+            m_x, _ = build(False)
+            ref = m_x.apply({"params": p}, x)
+            got = apply_fn(p, x)
+            err = float(jnp.max(jnp.abs(got - ref)))
+            print(f"im2col parity max abs err: {err:.2e}", flush=True)
 
         for comp, body in (("fwd", fwd), ("fwdbwd", fwdbwd)):
             dev, t16, t64 = kfit(scanner(body), (x,))

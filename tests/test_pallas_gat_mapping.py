@@ -102,7 +102,7 @@ def test_model_level_parity_use_pallas():
                   use_pallas=False)
     m_pal = Model(image_width=hw, image_height=hw, n_vertices=V,
                   attention_type="temporal", mapping_type="conv",
-                  use_pallas=True)
+                  use_pallas=True, use_pallas_mapping=True)
     p_ref = m_ref.init(jax.random.PRNGKey(0), x)["params"]
     p_pal = m_pal.init(jax.random.PRNGKey(0), x)["params"]
     jax.tree_util.tree_map(
