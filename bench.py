@@ -854,6 +854,18 @@ def main():
                 print(f"pipeline {wname} {leg} FAILED: {e}",
                       file=sys.stderr)
 
+    # eval-path leg (VERDICT r4 #4b): resident vs streaming val batches/s
+    try:
+        ev = bench_gat_eval_resident_vs_streaming()
+        pipeline["conv_gat_eval"] = ev
+        print(f"eval path: resident "
+              f"{ev['resident_eval_batches_per_sec']} vs streaming "
+              f"{ev['streaming_eval_batches_per_sec']} batches/s "
+              f"({ev['speedup']}x)", file=sys.stderr)
+    except Exception as e:
+        pipeline["conv_gat_eval_error"] = f"{type(e).__name__}: {e}"
+        print(f"eval path FAILED: {e}", file=sys.stderr)
+
     dc = results["dcgan"]
     payload = {
         "metric": "dcgan_fused_adversarial_train_device_steps_per_sec_f32_b32",
