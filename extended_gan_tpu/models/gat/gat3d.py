@@ -66,6 +66,48 @@ class _ConvParams(nn.Module):
         return kernel, bias
 
 
+def _chanfirst_bottleneck(xb, k1, b1, k2, b2, k3, b3):
+    """The conv bottleneck in channels-first / positions-on-lanes form.
+
+    Every NHWC-ish layout puts the 4..74-wide channel axis on the TPU's
+    128-lane dimension and pays up to 32x padded bytes per buffer — which
+    is why the step measures at an inflated HBM roofline
+    (BENCH_NOTES round 5). Here activations ride as (N, C, P) with P the
+    apron-padded row-flattened POSITION axis on lanes: a 3x3 SAME conv is
+    nine shifted lane-slices contracted over C ("ncp,cf->nfp"), with the
+    ring/apron positions re-zeroed between the 3x3 layers. Same math as
+    nn.Conv (parity-tested); XLA owns fusion/scheduling.
+    """
+    n, h, w, c = xb.shape
+    ph = h + 2
+    P = ph * ph
+    A = ph + 4  # lane apron >= max shift ph + 1
+    hp = jax.lax.Precision.HIGHEST
+    shifts = [dy * ph + dx for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
+    grid = jnp.zeros((ph, ph), jnp.float32).at[1:h + 1, 1:w + 1].set(1.0)
+    mask = jnp.pad(grid.reshape(-1), (A, A))[None, None, :]
+
+    def conv3x3(z, kern, bias):
+        k9 = kern.reshape(9, kern.shape[2], kern.shape[3])
+        acc = 0.0
+        for i, k in enumerate(shifts):
+            acc = acc + jnp.einsum("ncp,cf->nfp", z[:, :, A + k:A + k + P],
+                                   k9[i], precision=hp)
+        return acc + bias[None, :, None]
+
+    xp = jnp.pad(xb, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    yc = jnp.pad(xp.reshape(n, P, c).transpose(0, 2, 1),
+                 ((0, 0), (0, 0), (A, A)))
+    h1 = jnp.maximum(conv3x3(yc, k1, b1), 0.0)
+    h2 = jnp.maximum(
+        jnp.einsum("ncp,cf->nfp", h1, k2[0, 0], precision=hp)
+        + b2[None, :, None], 0.0)
+    h2 = jnp.pad(h2, ((0, 0), (0, 0), (A, A))) * mask
+    out = conv3x3(h2, k3, b3)
+    out = out.reshape(n, -1, ph, ph)[:, :, 1:h + 1, 1:w + 1]
+    return out.transpose(0, 2, 3, 1)  # back to (N, H, W, C_out)
+
+
 class _Mapping(nn.Module):
     """Per-node feature map on the T (frame-channel) axis.
 
@@ -82,6 +124,7 @@ class _Mapping(nn.Module):
     # train step (BENCH_NOTES round 5 "fused mapping") — the sequential
     # Pallas grid serializes hundreds of small-matmul cells where XLA's
     # convs already run near the HBM roofline
+    conv_impl: str = "nhwc"  # "nhwc" (nn.Conv) | "chanfirst"
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -112,6 +155,17 @@ class _Mapping(nn.Module):
             k3, b3 = _ConvParams(self.nhid, self.conv_hidden, (3, 3),
                                  name="conv3")()
             y = fused_conv_bottleneck(xb.astype(jnp.float32), k1, b1, k2,
+                                      b2, k3, b3)
+        elif self.mapping_type == "conv" and self.conv_impl == "chanfirst":
+            # positions-on-lanes XLA reformulation (same nn.Conv params
+            # via _ConvParams — checkpoints interchange freely)
+            k1, b1 = _ConvParams(self.conv_hidden, t, (3, 3),
+                                 name="conv1")()
+            k2, b2 = _ConvParams(self.conv_hidden, self.conv_hidden,
+                                 (1, 1), name="conv2")()
+            k3, b3 = _ConvParams(self.nhid, self.conv_hidden, (3, 3),
+                                 name="conv3")()
+            y = _chanfirst_bottleneck(xb.astype(jnp.float32), k1, b1, k2,
                                       b2, k3, b3)
         elif self.mapping_type == "conv":
             # 3x3 -> 1x1 -> 3x3 bottleneck; width 74 pins the temporal/conv
@@ -148,6 +202,7 @@ class GAT3DHead(nn.Module):
     mapping_type: str = "linear"
     use_pallas: bool = False  # fused single-kernel attention (temporal)
     use_pallas_mapping: bool = False  # fused conv bottleneck (see _Mapping)
+    conv_impl: str = "nhwc"  # conv-mapping layout (see _Mapping)
     dtype: Any = jnp.float32
 
     def _attend(self, mapped, axis_name: str):
@@ -191,7 +246,8 @@ class GAT3DHead(nn.Module):
     def __call__(self, x, *, train: bool = True):
         mapped = _Mapping(
             self.nfeat, self.nhid, self.mapping_type, dtype=self.dtype,
-            use_pallas=self.use_pallas_mapping, name="mapping",
+            use_pallas=self.use_pallas_mapping, conv_impl=self.conv_impl,
+            name="mapping",
         )(x, train=train).astype(jnp.float32)
         if self.type_ == "temporal":
             out, elu_done = self._attend(mapped, "temporal")
@@ -228,6 +284,7 @@ class GATMultiHead3D(nn.Module):
     n_vertices: int = 0
     use_pallas: bool = False
     use_pallas_mapping: bool = False
+    conv_impl: str = "nhwc"
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -238,6 +295,7 @@ class GATMultiHead3D(nn.Module):
             alpha=self.alpha, type_=self.type_,
             mapping_type=self.mapping_type, use_pallas=self.use_pallas,
             use_pallas_mapping=self.use_pallas_mapping,
+            conv_impl=self.conv_impl,
             dtype=self.dtype,
         )
         if self.mapping_type == "smaat_unet":
@@ -277,6 +335,7 @@ class Model(nn.Module):
     time_steps: int = 4
     use_pallas: bool = False
     use_pallas_mapping: bool = False
+    conv_impl: str = "nhwc"
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -287,6 +346,7 @@ class Model(nn.Module):
             image_height=self.image_height, image_width=self.image_width,
             n_vertices=self.n_vertices, use_pallas=self.use_pallas,
             use_pallas_mapping=self.use_pallas_mapping,
+            conv_impl=self.conv_impl,
             dtype=self.dtype,
         )
         x = GATMultiHead3D(nheads=3, name="hidden_layer", **common)(

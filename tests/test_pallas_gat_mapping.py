@@ -123,3 +123,37 @@ def test_model_level_parity_use_pallas():
         lambda a, b: np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=5e-4, atol=1e-6),
         g_pal, g_ref)
+
+
+def test_chanfirst_model_parity():
+    """conv_impl='chanfirst' (positions-on-lanes XLA mapping) matches the
+    nn.Conv path from identical params, forward and gradients."""
+    from extended_gan_tpu.models.gat.gat3d import Model
+
+    rng = np.random.RandomState(5)
+    hw, T, V = 10, 4, 6
+    x = jnp.asarray(rng.rand(2, hw, hw, T, V).astype(np.float32))
+    y = jnp.asarray(rng.rand(2, hw, hw, T, V).astype(np.float32))
+    m_ref = Model(image_width=hw, image_height=hw, n_vertices=V,
+                  attention_type="temporal", mapping_type="conv")
+    m_cf = Model(image_width=hw, image_height=hw, n_vertices=V,
+                 attention_type="temporal", mapping_type="conv",
+                 conv_impl="chanfirst")
+    p = m_ref.init(jax.random.PRNGKey(0), x)["params"]
+    p_cf = m_cf.init(jax.random.PRNGKey(0), x)["params"]
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b)), p, p_cf)
+    np.testing.assert_allclose(
+        np.asarray(m_cf.apply({"params": p}, x)),
+        np.asarray(m_ref.apply({"params": p}, x)), rtol=5e-5, atol=5e-5)
+
+    def loss(m, pp):
+        return jnp.mean((m.apply({"params": pp}, x) - y) ** 2)
+
+    g_ref = jax.grad(lambda pp: loss(m_ref, pp))(p)
+    g_cf = jax.grad(lambda pp: loss(m_cf, pp))(p)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-4, atol=1e-6),
+        g_cf, g_ref)
