@@ -43,7 +43,7 @@ def _adapter(ctor, *, takes_attention: bool):
 
     def make(image_width, image_height, n_vertices, attention_type,
              mapping_type, time_steps=4, dtype=jnp.float32,
-             use_pallas=False, moe_experts=0):
+             use_pallas=False, moe_experts=0, conv_impl="nhwc"):
         kwargs = dict(
             image_width=image_width, image_height=image_height,
             n_vertices=n_vertices, time_steps=time_steps,
@@ -57,6 +57,12 @@ def _adapter(ctor, *, takes_attention: bool):
                       f"use_pallas ignored")
             else:
                 kwargs["use_pallas"] = True
+        if conv_impl != "nhwc":
+            if "conv_impl" not in fields:
+                print(f"[registry] {ctor.__name__} has no conv_impl "
+                      "switch; ignored")
+            else:
+                kwargs["conv_impl"] = conv_impl
         if moe_experts:
             if "moe_experts" not in fields:
                 print(f"[registry] {ctor.__name__} has no MoE bottleneck; "

@@ -10,7 +10,9 @@ the cotangent einsums. So the kernel that wins at inference may LOSE
 at training. This probe K-fits the full megastep and fwdbwd with
 use_pallas on/off to decide what the training default should be.
 
-Run: python scripts/probe_pallas_train.py
+Run: python scripts/probe_pallas_train.py [nhwc|chanfirst]
+(the optional arg selects the conv-mapping layout for BOTH legs —
+"chanfirst" = the positions-on-lanes XLA reformulation)
 """
 
 from __future__ import annotations
@@ -37,16 +39,20 @@ def main():
     from extended_gan_tpu.train.optim import adam
     from extended_gan_tpu.train.state import create_net_state
 
+    import sys as _sys
+
+    conv_impl = _sys.argv[1] if len(_sys.argv) > 1 else "nhwc"
     batch, hw, T, V = 32, 20, 4, 6
     rng = np.random.RandomState(0)
     x = jnp.asarray(rng.rand(batch, hw, hw, T, V), jnp.float32)
     y = jnp.asarray(rng.rand(batch, hw, hw, T, V), jnp.float32)
     key = jax.random.PRNGKey(0)
+    print(f"conv_impl={conv_impl}")
 
     for use_pallas in (True, False):
         model = build_model("temporal", image_width=hw, image_height=hw,
                             n_vertices=V, mapping_type="conv",
-                            use_pallas=use_pallas)
+                            use_pallas=use_pallas, conv_impl=conv_impl)
         tx = adam(1e-3, weight_decay=0.01)
         state = create_net_state(model, tx, KeySeq(0).next(),
                                  jnp.zeros((2, hw, hw, T, V)))
