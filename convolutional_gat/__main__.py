@@ -86,6 +86,12 @@ def main():
                              "attention, SmaAt-UNet DSC) on. Default: "
                              "auto — ON on TPU, OFF elsewhere (config "
                              "key USE_PALLAS)")
+    parser.add_argument("--conv-impl", dest="conv_impl", default="auto",
+                        choices=("auto", "nhwc", "chanfirst"),
+                        help="conv-mapping layout: nhwc = nn.Conv; "
+                             "chanfirst = positions-on-lanes XLA "
+                             "reformulation (BENCH_NOTES round 5); auto "
+                             "currently = nhwc")
     parser.add_argument("--no-use-pallas", dest="use_pallas",
                         action="store_false",
                         help="force the unfused XLA path (A/B runs, "
@@ -125,6 +131,7 @@ def main():
             megastep=args.megastep,
             resident=args.resident,
             use_pallas=args.use_pallas,
+            conv_impl=args.conv_impl,
             moe_experts=args.moe_experts,
             moe_aux_weight=args.moe_aux_weight,
             pipeline_stages=args.pipeline_stages,
@@ -151,6 +158,7 @@ def main():
             megastep=args.megastep or None,
             resident=args.resident or None,
             use_pallas=args.use_pallas,
+            conv_impl=args.conv_impl,
             moe_experts=args.moe_experts or None,
             pipeline_stages=args.pipeline_stages or None,
             pp_microbatches=args.pp_microbatches or None,

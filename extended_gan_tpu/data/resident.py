@@ -202,7 +202,7 @@ class ResidentVideos:
             programs = jax.device_put(programs, m.sharding(None, None, dp))
         return programs
 
-    def eval_programs(self, k: int, batch: int):
+    def eval_programs(self, k: int, batch: int, *, min_batch: int = 2):
         """Composition-faithful eval index programs: (n_prog, K, B) int32
         plus the total valid-sample count.
 
@@ -212,8 +212,11 @@ class ResidentVideos:
         train.py:60-61 of the reference) — so batch composition is part of
         the metric contract, not just the window multiset. This builds the
         exact same batches: per file, consecutive chunks of ``batch``
-        windows, ragged tails -1-padded, size-<=1 batches dropped (the
-        streaming ``test()`` skips them). All per-batch metrics are sums /
+        windows, ragged tails -1-padded, size-< ``min_batch`` batches
+        dropped (conv-GAT's streaming ``test()`` skips <=1-sample batches
+        — default 2; the dcgan eval keeps every batch because its
+        disc-accuracy denominators count BATCHES — pass ``min_batch=1``).
+        All per-batch metrics are sums /
         within-batch order-invariant, so the result matches the streaming
         eval REGARDLESS of the loader's file-order or within-batch
         shuffling (KmniLoader "batch" mode).
@@ -223,7 +226,7 @@ class ResidentVideos:
         for fs in self.file_starts:
             for i in range(0, len(fs), batch):
                 chunk = fs[i:i + batch]
-                if len(chunk) <= 1:
+                if len(chunk) < min_batch:
                     continue
                 row = np.full((batch,), -1, np.int64)
                 row[: len(chunk)] = chunk
@@ -394,6 +397,70 @@ def resident_gat_test(eval_k, state, store: ResidentVideos, *,
         f"{flag}_rec": float(sums[4]) / total,
         f"{flag}_denorm_mse": float(sums[1]) / total,
     }
+
+
+def make_dcgan_resident_eval(g_model, fd_model, td_model, *,
+                             in_seq_len: int = 4, out_seq_len: int = 4):
+    """K dcgan eval batches per XLA program over a resident TEST store.
+
+    The dcgan eval already returns pure (num, denom) accumulators (no
+    data-driven threshold — MetricsManager binarizes at 0.5), so the
+    resident form is a plain scan over on-device gathers summing the
+    three log vectors; ONE small fetch per K batches replaces a
+    host->device batch copy + fetch per batch.
+
+    Signature: ``eval_k(states, video, starts) -> logs`` with the same
+    keys as ``make_dcgan_eval_step`` summed over the K batches.
+    """
+    from ..train.dcgan_trainer import make_dcgan_eval_step
+
+    inner = make_dcgan_eval_step(g_model, fd_model, td_model)
+    w = in_seq_len + out_seq_len
+
+    @jax.jit
+    def eval_k(states, video, starts):
+        def batch_logs(st):
+            mask = (st >= 0).astype(jnp.float32)
+            idx = jnp.maximum(st, 0)[:, None] + jnp.arange(w)
+            wins = jnp.moveaxis(video[idx], 1, -1)  # (B, H, W, in+out)
+            _, logs = inner(states, wins[..., :in_seq_len],
+                            wins[..., in_seq_len:], mask)
+            # program-padding rows (ALL -1): contribute nothing — the
+            # disc-accuracy denominators count 1 per REAL batch
+            any_valid = (jnp.sum(mask) > 0).astype(jnp.float32)
+            return jax.tree_util.tree_map(lambda v: v * any_valid, logs)
+
+        zeros = jax.tree_util.tree_map(
+            lambda s: jnp.zeros(s.shape, s.dtype),
+            jax.eval_shape(batch_logs, starts[0]))
+        acc, _ = jax.lax.scan(
+            lambda a, st: (jax.tree_util.tree_map(
+                jnp.add, a, batch_logs(st)), None),
+            zeros, starts)
+        return acc
+
+    return eval_k
+
+
+def resident_dcgan_test(eval_k, states, store: ResidentVideos, *,
+                        k: int = 8, batch_size: int = 64) -> dict:
+    """Drop-in for dcgan_trainer.test over a resident test store (same
+    result keys; viz is the caller's concern — gather one batch via
+    :meth:`ResidentVideos` indices if needed)."""
+    from ..utils.metrics import IncrementalTuple, MetricsManager
+
+    programs, _total = store.eval_programs(k, batch_size, min_batch=1)
+    pending = [eval_k(states, store.video, programs[i])
+               for i in range(int(programs.shape[0]))]
+    fd = MetricsManager(("accuracy",), prefix="frame_disc")
+    td = MetricsManager(("accuracy",), prefix="temp_disc")
+    pred = MetricsManager(("accuracy", "precision", "recall", "mse"),
+                          prefix="pred")
+    for logs in jax.device_get(pending):
+        fd.metrics["accuracy"] += IncrementalTuple(logs["fd_acc_nd"])
+        td.metrics["accuracy"] += IncrementalTuple(logs["td_acc_nd"])
+        pred.update_from_nd(logs["pred_nd"])
+    return fd.results() | td.results() | pred.results()
 
 
 def make_cyclegan_resident_megastep(g_xy_model, g_yx_model, d_x_model,

@@ -277,6 +277,7 @@ def train(
     fsdp_min_size: int = 4096,
     spatial: bool = False,
     use_pallas: bool | None = None,
+    conv_impl: str = "auto",
     megastep: int = 0,
     resident: bool = False,
     moe_experts: int = 0,
@@ -325,6 +326,10 @@ def train(
         tp_min_channels = 1 << 30  # SP and TP both spend the model axis
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
+    if conv_impl == "auto":
+        # "chanfirst" (positions-on-lanes mapping) becomes the auto pick
+        # if/when the on-chip A/B shows a win (BENCH_NOTES round 5)
+        conv_impl = "nhwc"
     mesh = MeshContext.create(data=data_axis, model=model_axis)
     keys = KeySeq(seed)
     dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
@@ -365,6 +370,7 @@ def train(
         time_steps=steps,
         dtype=dtype,
         use_pallas=use_pallas,
+        conv_impl=conv_impl,
         moe_experts=moe_experts,
     )
     tx = make_optimizer(optimizer, learning_rate,

@@ -363,3 +363,41 @@ def test_resident_eval_matches_streaming_test(kmni_folder):
     for key in ref:
         np.testing.assert_allclose(got[key], ref[key], rtol=2e-5,
                                    atol=1e-7, err_msg=key)
+
+
+@pytest.mark.slow
+def test_dcgan_resident_eval_matches_streaming_test(h5_folder):
+    """resident_dcgan_test == dcgan_trainer.test on the same split: the
+    disc-accuracy denominators count BATCHES, so composition parity
+    (min_batch=1, program-padding batches zeroed) is part of the
+    contract."""
+    from extended_gan_tpu.data.resident import (
+        make_dcgan_resident_eval,
+        resident_dcgan_test,
+    )
+    from extended_gan_tpu.data.streaming import H5SequenceLoader
+    from extended_gan_tpu.train.dcgan_driver import DEFAULT_PARAMS, build_dcgan
+    from extended_gan_tpu.train.dcgan_trainer import (
+        make_dcgan_eval_step,
+        test as dcgan_test,
+    )
+
+    mesh = MeshContext.create(data=2, model=1)
+    params = dict(DEFAULT_PARAMS)
+    models, _txs, states, _ = build_dcgan(params, seed=1)
+    states = mesh.put_replicated(states)
+
+    folder = ensure_synthetic_h5(None, frames_train=56, frames_test=24,
+                                 h=64, w=64)
+    b = 6
+    loader = H5SequenceLoader(folder + "/train", b, crop=64, shuffle=False)
+    ref = dcgan_test(loader, states, make_dcgan_eval_step(*models), mesh,
+                     b, epoch=0, img_path=None)
+
+    store = ResidentVideos.from_h5(folder + "/train", mesh, crop=64)
+    eval_k = make_dcgan_resident_eval(*models)
+    got = resident_dcgan_test(eval_k, states, store, k=3, batch_size=b)
+    assert set(got) == set(ref)
+    for key in ref:
+        np.testing.assert_allclose(got[key], ref[key], rtol=2e-5,
+                                   atol=1e-7, err_msg=key)
