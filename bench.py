@@ -649,6 +649,38 @@ def bench_gat_megastep(K=16, batch=32, hw=20, precision="f32"):
     return _time_megastep(mega, state, margs, K)
 
 
+def bench_unet_megastep(K=16, batch=32, hw=20, precision="f32"):
+    """SmaAt-UNet training rate — the reference's OTHER headline model
+    (local_unet, 4,032,548 params; best committed val MSE 0.0011548).
+    Same two-K protocol as the conv-GAT leg; the unet runs per-vertex
+    with V folded into the batch (models/unet_model.py)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from extended_gan_tpu.core import KeySeq
+    from extended_gan_tpu.models.registry import build_model
+    from extended_gan_tpu.parallel import MeshContext
+    from extended_gan_tpu.train.gat_trainer import make_gat_megastep
+    from extended_gan_tpu.train.optim import adam
+    from extended_gan_tpu.train.state import create_net_state
+
+    mesh = MeshContext.create(data=1, model=1)
+    dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
+    model = build_model("unet", image_width=hw, image_height=hw,
+                        n_vertices=6, mapping_type="conv", dtype=dtype)
+    tx = adam(1e-3, weight_decay=0.01)
+    state = create_net_state(model, tx, KeySeq(0).next(),
+                             jnp.zeros((2, hw, hw, 4, 6)))
+    state = mesh.put_replicated(state)
+    mega = make_gat_megastep(model, tx)
+    rng = np.random.RandomState(0)
+    xs = rng.rand(K, batch, hw, hw, 4, 6).astype(np.float32)
+    ys = rng.rand(K, batch, hw, hw, 4, 6).astype(np.float32)
+    ms = np.ones((K, batch), np.float32)
+    margs = mesh.put_megabatch(xs, ys, ms)
+    return _time_megastep(mega, state, margs, K)
+
+
 # ------------------------------------------------------------------- main
 
 def _mfu(flops_per_step: float, sps: float) -> dict:
@@ -823,6 +855,25 @@ def main():
             except Exception as e:  # never lose the primary metric
                 ablations[label] = {"error": f"{type(e).__name__}: {e}"}
 
+    # SmaAt-UNet (the reference's other headline model, local_unet
+    # 4,032,548 params): training rate via the same two-K device fit
+    unet = {}
+    try:
+        u16 = bench_unet_megastep(K=16)
+        u64 = bench_unet_megastep(K=64)
+        udec = _decompose_k(16e3 / u16["median"], 64e3 / u64["median"],
+                            16, 64, 0.0)
+        unet = {
+            "megastep_k16_true_sps": round(u16["median"], 1),
+            "megastep_k64_true_sps": round(u64["median"], 1),
+            "device_steps_per_sec": udec.get("device_steps_per_sec_est"),
+            "device_ms_per_step": udec.get("device_ms_per_step"),
+        }
+        print(f"unet device: {unet['device_ms_per_step']} ms/step "
+              f"({unet['device_steps_per_sec']} steps/s)", file=sys.stderr)
+    except Exception as e:  # never lose the primary metric
+        unet = {"error": f"{type(e).__name__}: {e}"}
+
     # real input paths: single-step disk feed (the round-3 shame number),
     # the megafeed (K batches per transfer+program, VERDICT r3 #1), and
     # the device-RESIDENT path (archive in HBM, VERDICT r3 #2) — each
@@ -886,6 +937,7 @@ def main():
             "conv_gat": results["conv_gat"],
             "samples_per_sec": grid,
             "dcgan_step_body_ablations": ablations,
+            "smaat_unet": unet,
             "pipeline_fed": pipeline,
             "baselines": {
                 "dcgan_v100_central_sps": base["dcgan"]["central_sps"],
