@@ -119,10 +119,72 @@ def main():
         out = jax.vmap(lambda hp_: im2col_head(xb, hp_))(pp)
         return out.reshape(3, b, v, h, w, T).transpose(0, 1, 3, 4, 5, 2)
 
+    # ---- channels-first / positions-on-lanes reformulation (plain XLA) --
+    # Every NHWC-ish layout puts C (4..74 wide) on the 128-lane axis and
+    # pays up to 32x padded bytes. Put the POSITION axis on lanes instead:
+    # activations ride as (N, C, P) with P = apron-padded row-flattened
+    # positions; a 3x3 conv is nine shifted lane-slices contracted over C
+    # ("ncp,cf->nfp"), ring/apron rows re-zeroed by a (1, 1, P) mask
+    # between the 3x3 layers — the fused Pallas kernel's exact math, but
+    # in XLA where the compiler owns fusion and scheduling.
+    A = 24  # lane apron >= max shift ph+1
+
+    def _cf_geom(h):
+        ph = h + 2
+        return ph, ph * ph
+
+    def _cf_mask(h):
+        ph, P = _cf_geom(h)
+        g = np.zeros((ph, ph), np.float32)
+        g[1:h + 1, 1:h + 1] = 1.0
+        m = np.zeros((P + 2 * A,), np.float32)
+        m[A:A + P] = g.reshape(-1)
+        return jnp.asarray(m)[None, None, :]
+
+    def chanfirst_head(yc, hp_params, h):
+        # yc: (N, C, P + 2A) apron-padded channels-first rows
+        ph, P = _cf_geom(h)
+        mask = _cf_mask(h)
+        shifts = [dy * ph + dx for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
+
+        def conv3x3(z, kern, bias):
+            k9 = kern.reshape(9, kern.shape[2], kern.shape[3])
+            acc = 0.0
+            for i, k in enumerate(shifts):
+                acc = acc + jnp.einsum(
+                    "ncp,cf->nfp", z[:, :, A + k:A + k + P], k9[i],
+                    precision=hp)
+            return acc + bias[None, :, None]
+
+        def repad(z):  # (N, F, P) -> apron-padded + ring-zeroed
+            return jnp.pad(z, ((0, 0), (0, 0), (A, A))) * mask
+
+        c1, c2, c3 = (hp_params["conv1"], hp_params["conv2"],
+                      hp_params["conv3"])
+        h1 = jnp.maximum(conv3x3(yc, c1["kernel"], c1["bias"]), 0.0)
+        h2 = jnp.maximum(
+            jnp.einsum("ncp,cf->nfp", h1, c2["kernel"][0, 0],
+                       precision=hp) + c2["bias"][None, :, None], 0.0)
+        out = conv3x3(repad(h2), c3["kernel"], c3["bias"])
+        return out  # (N, C_out, P)
+
+    def chanfirst_apply(pp, x):
+        b, h, w, t, v = x.shape
+        ph, P = _cf_geom(h)
+        xb = x.transpose(0, 4, 1, 2, 3).reshape(b * v, h, w, t)
+        xp = jnp.pad(xb, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        yc = xp.reshape(b * v, ph * ph, t).transpose(0, 2, 1)
+        yc = jnp.pad(yc, ((0, 0), (0, 0), (A, A)))
+        out = jax.vmap(lambda hp_: chanfirst_head(yc, hp_, h))(pp)
+        out = out.reshape(3, b * v, T, ph, ph)[:, :, :, 1:h + 1, 1:h + 1]
+        out = out.reshape(3, b, v, T, h, w)
+        return out.transpose(0, 1, 4, 5, 3, 2)  # (3, B, H, W, T', V)
+
     def variants():
         m_x, p_x = build(False)
         yield ("xla", lambda pp, xx: m_x.apply({"params": pp}, xx), p_x)
         yield ("im2col", im2col_apply, p_x)
+        yield ("chanfirst", chanfirst_apply, p_x)
         m_f, p_f = build(True)
         yield ("fused", lambda pp, xx: m_f.apply({"params": pp}, xx), p_f)
 
@@ -137,12 +199,12 @@ def main():
             return jnp.float32(consume(jax.grad(loss)(p)))
 
         # parity vs the nn.Conv composition before timing
-        if label == "im2col":
+        if label in ("im2col", "chanfirst"):
             m_x, _ = build(False)
             ref = m_x.apply({"params": p}, x)
             got = apply_fn(p, x)
             err = float(jnp.max(jnp.abs(got - ref)))
-            print(f"im2col parity max abs err: {err:.2e}", flush=True)
+            print(f"{label} parity max abs err: {err:.2e}", flush=True)
 
         for comp, body in (("fwd", fwd), ("fwdbwd", fwdbwd)):
             dev, t16, t64 = kfit(scanner(body), (x,))
