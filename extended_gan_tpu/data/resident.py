@@ -142,6 +142,43 @@ class ResidentVideos:
                    file_starts=starts)
 
     @classmethod
+    def from_arai(cls, folder: str, mesh=None, *, time_steps: int = 4,
+                  downsample_size: tuple[int, int] = (256, 256)):
+        """ARAI/MAI region blocks -> one resident (sum_T, H, W, R) array.
+
+        Window universe == :class:`~extended_gan_tpu.data.streaming.
+        AraiLoader` (arai_data_loader.py:14-226 parity): numeric-named
+        block files in numeric order, NO truncate-to-multiple (every
+        stride-1 window of 2*time_steps frames within a file), top-left
+        ``downsample_size`` crop, identity normalization (the ARAI
+        preprocessing already scaled values). Blocks are stored
+        (T, R, 1, H, W); the channel squeezes away and regions move to the
+        trailing axis so the on-device gather yields the trainer's
+        (B, H, W, S, V) layout directly, exactly as :meth:`from_kmni`.
+        """
+        w = 2 * time_steps
+        files = sorted(
+            (f for f in os.listdir(folder) if f.split(".")[0].isdigit()),
+            key=lambda x: int(x.split(".")[0]))
+        chunks, starts, offset = [], [], 0
+        for fname in files:
+            data = np.asarray(load_array(os.path.join(folder, fname)))
+            if data.ndim == 5:  # (T, R, 1, H, W)
+                data = data.squeeze(2)
+            data = data[:, :, : downsample_size[0], : downsample_size[1]]
+            if len(data) < w:
+                continue
+            # (T, R, H, W) -> (T, H, W, R)
+            chunks.append(np.ascontiguousarray(
+                data.transpose(0, 2, 3, 1), np.float32))
+            starts.append(offset + np.arange(len(data) - w + 1))
+            offset += len(data)
+        if not chunks:
+            raise ValueError(f"no usable ARAI blocks under {folder!r}")
+        return cls(np.concatenate(chunks), np.concatenate(starts), w, mesh,
+                   file_starts=starts)
+
+    @classmethod
     def from_pt_frames(cls, folder: str, mesh=None, *, seq_len: int = 4,
                        crop: int | None = 64):
         """Coastal-sea ``.pt`` frame archives (the top-level

@@ -472,10 +472,10 @@ def train(
     resident_eval_fn = None
     resident_k = 0
     if resident:
-        if dataset not in ("kmni", "synthetic"):
+        if dataset not in ("kmni", "synthetic", "arai"):
             raise ValueError(
-                f"--resident supports the KNMI-format datasets "
-                f"(kmni/synthetic), not {dataset!r}")
+                f"--resident supports the kmni/synthetic/arai datasets, "
+                f"not {dataset!r}")
         if pp is not None:
             raise ValueError("--resident and --pipeline-stages are "
                              "mutually exclusive (launch one)")
@@ -508,9 +508,16 @@ def train(
             from ..data.synthetic import ensure_synthetic_kmni
 
             folder = ensure_synthetic_kmni(preprocessed_folder or None)
-        resident_store = ResidentVideos.from_kmni(
-            os.path.join(folder, "train"), mesh, time_steps=steps,
-            crop=downsample_size[0])
+        if dataset == "arai":
+            # ARAI splits are training/validation (metadata-driven on the
+            # streaming path); identity normalization
+            resident_store = ResidentVideos.from_arai(
+                os.path.join(folder, "training"), mesh, time_steps=steps,
+                downsample_size=downsample_size)
+        else:
+            resident_store = ResidentVideos.from_kmni(
+                os.path.join(folder, "train"), mesh, time_steps=steps,
+                crop=downsample_size[0])
         resident_k = megastep if megastep > 1 else 8
         resident_megastep_fn = make_gat_resident_megastep(
             model, tx, time_steps=steps, remat=remat, criterion=criterion,
@@ -519,9 +526,14 @@ def train(
         # batches gather on-device and each K-batch program returns one
         # (6,) metric-sum vector — without this, epoch wall-clock on a
         # relay rig is EVAL-dominated once training stops streaming
-        resident_val_store = ResidentVideos.from_kmni(
-            os.path.join(folder, "test"), mesh, time_steps=steps,
-            crop=downsample_size[0])
+        if dataset == "arai":
+            resident_val_store = ResidentVideos.from_arai(
+                os.path.join(folder, "validation"), mesh, time_steps=steps,
+                downsample_size=downsample_size)
+        else:
+            resident_val_store = ResidentVideos.from_kmni(
+                os.path.join(folder, "test"), mesh, time_steps=steps,
+                crop=downsample_size[0])
         resident_eval_k = make_gat_resident_eval(
             model, time_steps=steps, power=resident_val_store.power,
             normalizing_max=resident_val_store.normalizing_max)

@@ -104,6 +104,28 @@ def test_h5_resident_equals_streaming_unshuffled(h5_folder):
     np.testing.assert_allclose(wins[:, 4:], ys_ref, atol=1e-6)
 
 
+def test_arai_resident_equals_streaming_unshuffled(tmp_path):
+    from extended_gan_tpu.data.streaming import get_arai_loaders
+    from extended_gan_tpu.data.synthetic import make_arai_dataset
+
+    make_arai_dataset(str(tmp_path), n_files=2, frames_per_file=16,
+                      n_regions=5, h=12, w=12)
+    train, _, _ = get_arai_loaders(4, 2, str(tmp_path),
+                                   downsample_size=(8, 8), shuffle=False)
+    xs_ref, ys_ref = _drain_loader(train)
+
+    res = ResidentVideos.from_arai(str(tmp_path / "training"),
+                                   downsample_size=(8, 8))
+    assert res.n_windows == len(xs_ref)
+    assert res.power == 1.0 and res.normalizing_max == 1.0
+    x, y = _gather_kmni(res, np.asarray(res.starts))  # same (T,H,W,V) layout
+    np.testing.assert_allclose(x, xs_ref, rtol=0, atol=1e-6)
+    np.testing.assert_allclose(y, ys_ref, rtol=0, atol=1e-6)
+    # per-file start lists never span the file boundary (16-frame files,
+    # 8-frame windows -> 9 starts each)
+    assert [len(s) for s in res.file_starts] == [9, 9]
+
+
 def test_epoch_programs_shuffle_is_permutation(kmni_folder):
     mesh = MeshContext.create(data=8, model=1)
     res = ResidentVideos.from_kmni(kmni_folder + "/train", mesh, crop=8)

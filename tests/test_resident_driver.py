@@ -43,6 +43,27 @@ def test_gat_driver_resident_trains(kmni_data, tmp_path):
     assert os.path.exists(os.path.join(out, "model.msgpack"))
 
 
+def test_gat_driver_resident_trains_arai(tmp_path):
+    """--resident with dataset="arai": the region-block family goes
+    resident too (VERDICT r4 weak #6's last family)."""
+    from extended_gan_tpu.data.synthetic import make_arai_dataset
+
+    data = make_arai_dataset(str(tmp_path / "arai"), n_files=2,
+                             frames_per_file=16, n_regions=5, h=12, w=12)
+    out = str(tmp_path / "out")
+    state, history = train(
+        model_type="temporal", optimizer="adam", mapping_type="linear",
+        output_path=out, train_batch_size=8, test_batch_size=8, epochs=2,
+        learning_rate=1e-3, lr_step=1, gamma=0.95,
+        downsample_size=(8, 8), preprocessed_folder=data,
+        dataset="arai", plot=False, resident=True, megastep=4, seed=7,
+    )
+    assert len(history["train_loss"]) == 2
+    assert all(np.isfinite(v) for v in history["train_loss"])
+    assert np.isfinite(history["val_loss"][-1])
+    assert os.path.exists(os.path.join(out, "model.msgpack"))
+
+
 @pytest.mark.slow
 def test_resident_driver_loss_comparable_to_streaming(kmni_data, tmp_path):
     """Same data, same model, same epochs: the resident driver's loss
