@@ -500,6 +500,62 @@ def resident_dcgan_test(eval_k, states, store: ResidentVideos, *,
     return fd.results() | td.results() | pred.results()
 
 
+def make_cyclegan_resident_eval(g_xy_model, g_yx_model, *,
+                                seq_len: int = 4):
+    """K CycleGAN eval batches per XLA program over a resident TEST store.
+
+    ``make_cyclegan_eval_step``'s logs are already pure masked (num,
+    denom) accumulators — a fully-padded program contributes zero to
+    both — so the resident form is a plain scan-sum over on-device
+    gathers: ONE (2,)-vector pair fetch per K batches replaces a
+    host->device batch copy + fetch per batch (the same inversion as
+    the conv-GAT/dcgan resident evals).
+
+    Signature: ``eval_k(states, video, starts) -> {pred_mse_nd,
+    cycle_l1_nd}`` summed over the K batches.
+    """
+    from ..train.cyclegan_trainer import make_cyclegan_eval_step
+
+    inner = make_cyclegan_eval_step(g_xy_model, g_yx_model)
+    w = 2 * seq_len
+
+    @jax.jit
+    def eval_k(states, video, starts):
+        def scan_body(acc, st):
+            mask = (st >= 0).astype(jnp.float32)
+            idx = jnp.maximum(st, 0)[:, None] + jnp.arange(w)
+            wins = jnp.moveaxis(video[idx], 1, -1)  # (B, H, W, 2*seq)
+            _, logs = inner(states, wins[..., :seq_len],
+                            wins[..., seq_len:], mask)
+            return (acc[0] + logs["pred_mse_nd"],
+                    acc[1] + logs["cycle_l1_nd"]), None
+
+        zeros = (jnp.zeros((2,), jnp.float32), jnp.zeros((2,), jnp.float32))
+        acc, _ = jax.lax.scan(scan_body, zeros, starts)
+        return {"pred_mse_nd": acc[0], "cycle_l1_nd": acc[1]}
+
+    return eval_k
+
+
+def resident_cyclegan_test(eval_k, states, store: ResidentVideos, *,
+                           k: int = 8, batch_size: int = 64) -> dict:
+    """Drop-in for the cyclegan driver's streaming eval loop over a
+    resident test store: same result keys, sums fetched once per
+    K-batch program."""
+    from ..utils.metrics import IncrementalTuple
+
+    # min_batch=1: the cyclegan streaming eval keeps every batch (its
+    # metrics are pure masked sums, no per-batch data-driven threshold)
+    programs, _ = store.eval_programs(k, batch_size, min_batch=1)
+    pred, cyc = IncrementalTuple(), IncrementalTuple()
+    pending = [eval_k(states, store.video, programs[i])
+               for i in range(int(programs.shape[0]))]
+    for logs in jax.device_get(pending):
+        pred += IncrementalTuple(logs["pred_mse_nd"])
+        cyc += IncrementalTuple(logs["cycle_l1_nd"])
+    return {"pred_mse": pred.item(), "cycle_l1": cyc.item()}
+
+
 def make_cyclegan_resident_megastep(g_xy_model, g_yx_model, d_x_model,
                                     d_y_model, g_xy_tx, g_yx_tx, d_x_tx,
                                     d_y_tx, *, seq_len: int = 4,

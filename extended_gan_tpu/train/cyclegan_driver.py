@@ -169,7 +169,9 @@ def train(
                 "shard the batch over 'data')")
         from ..data.resident import (
             ResidentVideos,
+            make_cyclegan_resident_eval,
             make_cyclegan_resident_megastep,
+            resident_cyclegan_test,
         )
 
         resident_store = ResidentVideos.from_pt_frames(
@@ -178,8 +180,19 @@ def train(
         resident_k = megastep if megastep > 1 else 8
         resident_megastep_fn = make_cyclegan_resident_megastep(
             *models, *txs, seq_len=nc, cycle_lambda=cycle_lambda)
-        mb = resident_store.video.nbytes / 1e6
-        print(f"[resident] {resident_store.n_windows} windows / "
+        # the test split goes resident too (it is the smaller one): eval
+        # batches gather on-device and each K-batch program returns one
+        # (num, denom) pair per metric — without this, epoch wall-clock
+        # on a relay rig is EVAL-dominated once training stops streaming
+        resident_test_store = ResidentVideos.from_pt_frames(
+            os.path.join(data_location, "test"), mesh, seq_len=nc,
+            crop=imsize)
+        resident_eval_k = make_cyclegan_resident_eval(
+            models[0], models[1], seq_len=nc)
+        mb = (resident_store.video.nbytes
+              + resident_test_store.video.nbytes) / 1e6
+        print(f"[resident] {resident_store.n_windows} train + "
+              f"{resident_test_store.n_windows} test windows / "
               f"{mb:.0f} MB live in device memory; K={resident_k} "
               "steps per program, index-only transfers")
 
@@ -364,32 +377,59 @@ def train(
                 print(f"Step timing: {json.dumps(prof_stats)}")
 
             # eval
-            pred_mse = IncrementalTuple()
-            cycle_l1 = IncrementalTuple()
-            pending = []
-            first = True
-            for x, y, mask in _feed(test_loader, mesh, test_batch_size,
-                                    spatial=spatial):
-                fake_y, logs = eval_step(states, x, y, mask)
-                pending.append(logs)
-                if first:
+            if resident_store is not None:
+                eval_result = resident_cyclegan_test(
+                    resident_eval_k, states, resident_test_store,
+                    k=resident_k, batch_size=test_batch_size)
+                if img_path is not None:
+                    # first-batch viz parity: gather the first eval batch
+                    # on-device, fetch only those windows + the fakes
+                    st0 = jnp.asarray(
+                        resident_test_store.eval_programs(
+                            1, min(8, test_batch_size))[0][0, 0])
+                    idx = jnp.maximum(st0, 0)[:, None] + jnp.arange(2 * nc)
+                    wins = jnp.moveaxis(
+                        resident_test_store.video[idx], 1, -1)
+                    xv, yv = wins[..., :nc], wins[..., nc:]
+                    fake, _ = eval_step(
+                        states, xv, yv, (st0 >= 0).astype(jnp.float32))
+                    n = int(np.sum(np.asarray(st0) >= 0))
                     from ..utils.viz import visualize_predictions
 
-                    n = int(np.sum(np.asarray(mask)))
                     visualize_predictions(
-                        np.moveaxis(np.asarray(x)[:n], -1, 1),
-                        np.moveaxis(np.asarray(y)[:n], -1, 1),
-                        np.moveaxis(np.asarray(fake_y)[:n], -1, 1),
+                        np.moveaxis(np.asarray(xv)[:n], -1, 1),
+                        np.moveaxis(np.asarray(yv)[:n], -1, 1),
+                        np.moveaxis(np.asarray(fake)[:n], -1, 1),
                         epoch, img_path,
                     )
-                    first = False
-            for logs in jax.device_get(pending):
-                pred_mse += IncrementalTuple(logs["pred_mse_nd"])
-                cycle_l1 += IncrementalTuple(logs["cycle_l1_nd"])
-            results = train_mse.results() | {
-                "pred_mse": pred_mse.item(),
-                "cycle_l1": cycle_l1.item(),
-            } | prof_stats
+            else:
+                pred_mse = IncrementalTuple()
+                cycle_l1 = IncrementalTuple()
+                pending = []
+                first = True
+                for x, y, mask in _feed(test_loader, mesh, test_batch_size,
+                                        spatial=spatial):
+                    fake_y, logs = eval_step(states, x, y, mask)
+                    pending.append(logs)
+                    if first:
+                        from ..utils.viz import visualize_predictions
+
+                        n = int(np.sum(np.asarray(mask)))
+                        visualize_predictions(
+                            np.moveaxis(np.asarray(x)[:n], -1, 1),
+                            np.moveaxis(np.asarray(y)[:n], -1, 1),
+                            np.moveaxis(np.asarray(fake_y)[:n], -1, 1),
+                            epoch, img_path,
+                        )
+                        first = False
+                for logs in jax.device_get(pending):
+                    pred_mse += IncrementalTuple(logs["pred_mse_nd"])
+                    cycle_l1 += IncrementalTuple(logs["cycle_l1_nd"])
+                eval_result = {
+                    "pred_mse": pred_mse.item(),
+                    "cycle_l1": cycle_l1.item(),
+                }
+            results = train_mse.results() | eval_result | prof_stats
             print(json.dumps(results, indent=4))
             history.append(results)
             # read once: a SIGTERM between "should we save?" and "should we

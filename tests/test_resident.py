@@ -320,6 +320,43 @@ def test_cyclegan_resident_megastep_matches_streaming(coastal_folder):
                                rtol=2e-5)
 
 
+def test_cyclegan_resident_eval_matches_streaming(coastal_folder):
+    """resident_cyclegan_test == the driver's streaming eval loop on the
+    same split: pure (num, denom) metrics, so agreement is numeric."""
+    from extended_gan_tpu.data.resident import (
+        make_cyclegan_resident_eval,
+        resident_cyclegan_test,
+    )
+    from extended_gan_tpu.data.streaming import CoastalSeaLoader
+    from extended_gan_tpu.train.cyclegan_driver import _feed, build_cyclegan
+    from extended_gan_tpu.train.cyclegan_trainer import (
+        make_cyclegan_eval_step,
+    )
+    from extended_gan_tpu.utils.metrics import IncrementalTuple
+
+    mesh = MeshContext.create(data=2, model=1)
+    models, _txs, states, _step, eval_step, _keys = build_cyclegan(
+        nc=4, ndf=8, imsize=64, seed=2)
+    states = mesh.put_replicated(states)
+
+    b = 6
+    loader = CoastalSeaLoader(coastal_folder + "/test", b, crop=64,
+                              shuffle=False, seq_len=4)
+    pred_ref, cyc_ref = IncrementalTuple(), IncrementalTuple()
+    for x, y, mask in _feed(iter(loader), mesh, b):
+        _, logs = eval_step(states, x, y, mask)
+        logs = jax.device_get(logs)
+        pred_ref += IncrementalTuple(logs["pred_mse_nd"])
+        cyc_ref += IncrementalTuple(logs["cycle_l1_nd"])
+
+    store = ResidentVideos.from_pt_frames(coastal_folder + "/test", mesh,
+                                          seq_len=4, crop=64)
+    eval_k = make_cyclegan_resident_eval(models[0], models[1], seq_len=4)
+    got = resident_cyclegan_test(eval_k, states, store, k=3, batch_size=b)
+    np.testing.assert_allclose(got["pred_mse"], pred_ref.item(), rtol=2e-5)
+    np.testing.assert_allclose(got["cycle_l1"], cyc_ref.item(), rtol=2e-5)
+
+
 def test_eval_programs_composition(kmni_folder):
     """eval_programs builds the streaming loaders' batch composition:
     consecutive per-file chunks, tails padded, <=1-sample batches
