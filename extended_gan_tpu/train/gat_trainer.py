@@ -120,7 +120,11 @@ def make_gat_train_step(model, tx, *, remat: bool = False,
 
     remat=True rematerializes the forward during the backward pass
     (jax.checkpoint) — trades recompute FLOPs for activation HBM, the knob
-    that lets the 4M-param SmaAt-UNet train at large spatial sizes.
+    that lets the 4M-param SmaAt-UNet train at large spatial sizes. It is
+    a MEMORY knob, not a throughput knob: at the headline conv-GAT
+    geometry it measured 0.73x (bf16 b128, scripts/probe_gat_remat.py —
+    the recomputed conv intermediates still materialize through HBM;
+    BENCH_NOTES round 5).
 
     ``criterion`` (config key CRITERION; the reference passes an arbitrary
     torch loss module to train(), convolutional_gat/train.py:131): "mse"

@@ -126,6 +126,23 @@ def test_arai_resident_equals_streaming_unshuffled(tmp_path):
     assert [len(s) for s in res.file_starts] == [9, 9]
 
 
+def test_arai_resident_skips_short_and_stray_files(tmp_path):
+    """from_arai mirrors AraiLoader's file discipline: non-numeric names
+    ignored, files shorter than one 2T window contribute nothing."""
+    from extended_gan_tpu.data.io import save_array
+
+    rng = np.random.RandomState(1)
+    save_array(str(tmp_path / "0.pt"),
+               rng.rand(12, 3, 1, 8, 8).astype(np.float32))
+    save_array(str(tmp_path / "1.pt"),  # 5 frames < 8-frame window
+               rng.rand(5, 3, 1, 8, 8).astype(np.float32))
+    (tmp_path / "README.md").write_text("not data")
+    res = ResidentVideos.from_arai(str(tmp_path), downsample_size=(8, 8))
+    assert res.n_windows == 12 - 8 + 1
+    assert len(res.file_starts) == 1
+    assert np.asarray(res.video).shape == (12, 8, 8, 3)
+
+
 def test_epoch_programs_shuffle_is_permutation(kmni_folder):
     mesh = MeshContext.create(data=8, model=1)
     res = ResidentVideos.from_kmni(kmni_folder + "/train", mesh, crop=8)
