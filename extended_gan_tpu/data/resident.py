@@ -292,6 +292,17 @@ class ResidentVideos:
                 for i in range(n_programs)]
 
 
+def _gather_windows(video, st, w, *, frame_axis_to: int):
+    """On-device window materialization shared by every resident step/eval:
+    validity mask from the -1 padding convention, clamp-gather by start
+    index, frame axis moved to ``frame_axis_to`` (3 for the GAT
+    (B, H, W, 2S, V) layout, -1 for the frames-as-channels families)."""
+    mask = (st >= 0).astype(jnp.float32)
+    idx = jnp.maximum(st, 0)[:, None] + jnp.arange(w)
+    wins = jnp.moveaxis(video[idx], 1, frame_axis_to)
+    return wins, mask
+
+
 def _aggregate_megastep_logs(stacked):
     # same rule as train/megastep.py::wrap_megastep: (num, denom)
     # accumulators sum exactly over the K steps; scalars keep the last
@@ -329,9 +340,7 @@ def make_gat_resident_megastep(model, tx, *, time_steps: int = 4,
     def megastep(state, video, starts, rngs):
         def scan_body(s, inp):
             st, rng = inp
-            mask = (st >= 0).astype(jnp.float32)
-            idx = jnp.maximum(st, 0)[:, None] + jnp.arange(w)
-            wins = jnp.moveaxis(video[idx], 1, 3)  # (B, H, W, 2S, V)
+            wins, mask = _gather_windows(video, st, w, frame_axis_to=3)
             s, logs = body(s, wins[..., :time_steps, :],
                            wins[..., time_steps:, :], mask, rng)
             return s, logs
@@ -389,9 +398,7 @@ def make_gat_resident_eval(model, *, time_steps: int = 4,
             variables["batch_stats"] = state.batch_stats
 
         def scan_body(acc, st):
-            mask = (st >= 0).astype(jnp.float32)
-            idx = jnp.maximum(st, 0)[:, None] + jnp.arange(w)
-            wins = jnp.moveaxis(video[idx], 1, 3)  # (B, H, W, 2S, V)
+            wins, mask = _gather_windows(video, st, w, frame_axis_to=3)
             x = wins[..., :time_steps, :]
             y = wins[..., time_steps:, :]
             y_hat = model.apply(variables, x, train=False)
@@ -457,9 +464,8 @@ def make_dcgan_resident_eval(g_model, fd_model, td_model, *,
     @jax.jit
     def eval_k(states, video, starts):
         def batch_logs(st):
-            mask = (st >= 0).astype(jnp.float32)
-            idx = jnp.maximum(st, 0)[:, None] + jnp.arange(w)
-            wins = jnp.moveaxis(video[idx], 1, -1)  # (B, H, W, in+out)
+            wins, mask = _gather_windows(video, st, w,
+                                         frame_axis_to=-1)
             _, logs = inner(states, wins[..., :in_seq_len],
                             wins[..., in_seq_len:], mask)
             # program-padding rows (ALL -1): contribute nothing — the
@@ -522,9 +528,8 @@ def make_cyclegan_resident_eval(g_xy_model, g_yx_model, *,
     @jax.jit
     def eval_k(states, video, starts):
         def scan_body(acc, st):
-            mask = (st >= 0).astype(jnp.float32)
-            idx = jnp.maximum(st, 0)[:, None] + jnp.arange(w)
-            wins = jnp.moveaxis(video[idx], 1, -1)  # (B, H, W, 2*seq)
+            wins, mask = _gather_windows(video, st, w,
+                                         frame_axis_to=-1)
             _, logs = inner(states, wins[..., :seq_len],
                             wins[..., seq_len:], mask)
             return (acc[0] + logs["pred_mse_nd"],
@@ -581,9 +586,8 @@ def make_cyclegan_resident_megastep(g_xy_model, g_yx_model, d_x_model,
     def megastep(states, video, starts, rngs):
         def scan_body(s, inp):
             st, rng = inp
-            mask = (st >= 0).astype(jnp.float32)
-            idx = jnp.maximum(st, 0)[:, None] + jnp.arange(w)
-            wins = jnp.moveaxis(video[idx], 1, -1)  # (B, H, W, 2*seq)
+            wins, mask = _gather_windows(video, st, w,
+                                         frame_axis_to=-1)
             s, logs = body(s, wins[..., :seq_len], wins[..., seq_len:],
                            mask, rng)
             return s, logs
@@ -618,9 +622,8 @@ def make_dcgan_resident_megastep(g_model, fd_model, td_model, g_tx, fd_tx,
     def megastep(states, video, starts, rngs):
         def scan_body(s, inp):
             st, rng = inp
-            mask = (st >= 0).astype(jnp.float32)
-            idx = jnp.maximum(st, 0)[:, None] + jnp.arange(w)
-            wins = jnp.moveaxis(video[idx], 1, -1)  # (B, H, W, in+out)
+            wins, mask = _gather_windows(video, st, w,
+                                         frame_axis_to=-1)
             s, logs = body(s, wins[..., :in_seq_len],
                            wins[..., in_seq_len:], mask, rng)
             return s, logs

@@ -245,14 +245,21 @@ def train(
     shutdown = GracefulShutdown().__enter__()
     try:
         for epoch in range(start_epoch, epochs + 1):
-            train_loader, test_loader = get_coastal_loaders(
-                data_location, train_batch_size, test_batch_size,
-                seq_len=nc, crop=imsize, seed=seed + epoch,
-            )
+            if resident_store is not None:
+                # train AND eval run from HBM-resident stores:
+                # constructing the streaming loaders (which decode their
+                # first file eagerly) would be pure waste
+                train_loader = test_loader = None
+            else:
+                train_loader, test_loader = get_coastal_loaders(
+                    data_location, train_batch_size, test_batch_size,
+                    seq_len=nc, crop=imsize, seed=seed + epoch,
+                )
             # mid-epoch resume: replay the loader past the consumed
             # batches (identical RNG draws -> bit-identical continuation)
             skip = int(mid["batch"]) if epoch == start_epoch else 0
-            train_it = iter(train_loader)
+            train_it = iter(train_loader) if train_loader is not None \
+                else iter(())
             if skip and resident_store is not None:
                 # resident epochs replay by program index (n_done below);
                 # the streaming iterator is unused on that path
@@ -382,11 +389,19 @@ def train(
                     resident_eval_k, states, resident_test_store,
                     k=resident_k, batch_size=test_batch_size)
                 if img_path is not None:
-                    # first-batch viz parity: gather the first eval batch
-                    # on-device, fetch only those windows + the fakes
+                    # first-batch viz: gather the FIRST eval batch
+                    # on-device, fetch only those windows + the fakes.
+                    # min_batch=1 matches the metric path — the default
+                    # of 2 would raise when every file yields a single
+                    # window. Deviation from streaming viz: the test
+                    # loader reshuffles per epoch, so streaming rendered
+                    # a different file's batch each time; resident viz
+                    # deterministically renders file 0's first <=8
+                    # windows (the metric contract is unaffected).
                     st0 = jnp.asarray(
                         resident_test_store.eval_programs(
-                            1, min(8, test_batch_size))[0][0, 0])
+                            1, min(8, test_batch_size),
+                            min_batch=1)[0][0, 0])
                     idx = jnp.maximum(st0, 0)[:, None] + jnp.arange(2 * nc)
                     wins = jnp.moveaxis(
                         resident_test_store.video[idx], 1, -1)
@@ -403,32 +418,11 @@ def train(
                         epoch, img_path,
                     )
             else:
-                pred_mse = IncrementalTuple()
-                cycle_l1 = IncrementalTuple()
-                pending = []
-                first = True
-                for x, y, mask in _feed(test_loader, mesh, test_batch_size,
-                                        spatial=spatial):
-                    fake_y, logs = eval_step(states, x, y, mask)
-                    pending.append(logs)
-                    if first:
-                        from ..utils.viz import visualize_predictions
+                from .cyclegan_trainer import test as cyclegan_test
 
-                        n = int(np.sum(np.asarray(mask)))
-                        visualize_predictions(
-                            np.moveaxis(np.asarray(x)[:n], -1, 1),
-                            np.moveaxis(np.asarray(y)[:n], -1, 1),
-                            np.moveaxis(np.asarray(fake_y)[:n], -1, 1),
-                            epoch, img_path,
-                        )
-                        first = False
-                for logs in jax.device_get(pending):
-                    pred_mse += IncrementalTuple(logs["pred_mse_nd"])
-                    cycle_l1 += IncrementalTuple(logs["cycle_l1_nd"])
-                eval_result = {
-                    "pred_mse": pred_mse.item(),
-                    "cycle_l1": cycle_l1.item(),
-                }
+                eval_result = cyclegan_test(
+                    test_loader, states, eval_step, mesh, test_batch_size,
+                    epoch, img_path=img_path, spatial=spatial)
             results = train_mse.results() | eval_result | prof_stats
             print(json.dumps(results, indent=4))
             history.append(results)

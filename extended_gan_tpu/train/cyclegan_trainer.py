@@ -200,3 +200,38 @@ def make_cyclegan_eval_step(g_xy_model, g_yx_model):
         }
 
     return eval_step
+
+
+def test(dataloader, states, eval_step, mesh, batch_size, epoch,
+         img_path=None, spatial=False):
+    """Streaming CycleGAN eval over one loader pass (the dcgan_trainer
+    ``test`` twin): masked (num, denom) sums fetched once at the end,
+    first-batch prediction grid rendered when ``img_path`` is set.
+    Returns ``{"pred_mse", "cycle_l1"}``."""
+    import numpy as np
+
+    from ..utils.metrics import IncrementalTuple
+    from .dcgan_trainer import _feed
+
+    pred_mse = IncrementalTuple()
+    cycle_l1 = IncrementalTuple()
+    pending = []
+    first = True
+    for x, y, mask in _feed(dataloader, mesh, batch_size, spatial=spatial):
+        fake_y, logs = eval_step(states, x, y, mask)
+        pending.append(logs)
+        if first and img_path is not None:
+            from ..utils.viz import visualize_predictions
+
+            n = int(np.sum(np.asarray(mask)))
+            visualize_predictions(
+                np.moveaxis(np.asarray(x)[:n], -1, 1),
+                np.moveaxis(np.asarray(y)[:n], -1, 1),
+                np.moveaxis(np.asarray(fake_y)[:n], -1, 1),
+                epoch, img_path,
+            )
+        first = False
+    for logs in jax.device_get(pending):
+        pred_mse += IncrementalTuple(logs["pred_mse_nd"])
+        cycle_l1 += IncrementalTuple(logs["cycle_l1_nd"])
+    return {"pred_mse": pred_mse.item(), "cycle_l1": cycle_l1.item()}

@@ -286,19 +286,26 @@ def train(
     shutdown = GracefulShutdown().__enter__()
     try:
         for epoch in range(start_epoch, params["nepochs"] + 1):
-            train_loader, test_loader = get_h5_loaders(
-                data_location,
-                train_batch_size,
-                test_batch_size,
-                crop=params["imsize"],
-                in_seq_len=params["nc"],
-                out_seq_len=params["nc"],
-                seed=seed + epoch,
-            )
+            if resident_store is not None:
+                # train AND eval run from HBM-resident stores:
+                # constructing the streaming loaders (which decode their
+                # first file eagerly) would be pure waste
+                train_loader = test_loader = None
+            else:
+                train_loader, test_loader = get_h5_loaders(
+                    data_location,
+                    train_batch_size,
+                    test_batch_size,
+                    crop=params["imsize"],
+                    in_seq_len=params["nc"],
+                    out_seq_len=params["nc"],
+                    seed=seed + epoch,
+                )
             # mid-epoch resume: replay the loader past the consumed
             # batches (identical RNG draws -> bit-identical continuation)
             skip = int(mid["batch"]) if epoch == start_epoch else 0
-            train_it = iter(train_loader)
+            train_it = iter(train_loader) if train_loader is not None \
+                else iter(())
             if skip and resident_store is not None:
                 # resident epochs replay by program index (derived from
                 # the restored batch count inside train_single_epoch);
@@ -362,9 +369,12 @@ def train(
                     import jax.numpy as jnp
                     import numpy as np
 
+                    # min_batch=1 matches the metric path (the default 2
+                    # would raise when every file yields a single window)
                     st0 = jnp.asarray(
                         resident_test_store.eval_programs(
-                            1, min(8, test_batch_size))[0][0, 0])
+                            1, min(8, test_batch_size),
+                            min_batch=1)[0][0, 0])
                     w_in = params["nc"]
                     idx = (jnp.maximum(st0, 0)[:, None]
                            + jnp.arange(2 * w_in))

@@ -44,6 +44,10 @@ def main():
     key = jax.random.PRNGKey(0)
     want_prec = sys.argv[1] if len(sys.argv) > 1 else None
     want_batch = int(sys.argv[2]) if len(sys.argv) > 2 else None
+    if want_prec not in (None, "f32", "bf16"):
+        sys.exit(f"unknown precision {want_prec!r} (f32|bf16)")
+    if want_batch not in (None, 32, 128):
+        sys.exit(f"batch {want_batch} not in the probe grid (32|128)")
 
     for precision in ("f32", "bf16"):
         if want_prec and precision != want_prec:

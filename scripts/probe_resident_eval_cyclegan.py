@@ -19,8 +19,6 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main(batch: int = 32, K: int = 8):
-    import jax
-
     from extended_gan_tpu.data.resident import (
         ResidentVideos,
         make_cyclegan_resident_eval,
@@ -29,8 +27,10 @@ def main(batch: int = 32, K: int = 8):
     from extended_gan_tpu.data.streaming import CoastalSeaLoader
     from extended_gan_tpu.data.synthetic import ensure_synthetic_coastal
     from extended_gan_tpu.parallel import MeshContext
-    from extended_gan_tpu.train.cyclegan_driver import _feed, build_cyclegan
-    from extended_gan_tpu.utils.metrics import IncrementalTuple
+    from extended_gan_tpu.train.cyclegan_driver import build_cyclegan
+    from extended_gan_tpu.train.cyclegan_trainer import (
+        test as cyclegan_test,
+    )
 
     mesh = MeshContext.create(data=1, model=1)
     models, _txs, states, _step, eval_step, _keys = build_cyclegan(
@@ -54,13 +54,8 @@ def main(batch: int = 32, K: int = 8):
     def streaming_pass():
         loader = CoastalSeaLoader(folder + "/train", batch, crop=64,
                                   shuffle=False, seq_len=4)
-        pred, cyc = IncrementalTuple(), IncrementalTuple()
-        for x, y, mask in _feed(iter(loader), mesh, batch):
-            _, logs = eval_step(states, x, y, mask)
-            logs = jax.device_get(logs)
-            pred += IncrementalTuple(logs["pred_mse_nd"])
-            cyc += IncrementalTuple(logs["cycle_l1_nd"])
-        return {"pred_mse": pred.item(), "cycle_l1": cyc.item()}
+        return cyclegan_test(iter(loader), states, eval_step, mesh, batch,
+                             epoch=0, img_path=None)
 
     streaming_pass()  # warm
     t0 = time.perf_counter()

@@ -117,6 +117,29 @@ def test_resident_guard_rails(kmni_data, tmp_path):
             k: v for k, v in common.items() if k != "train_batch_size"})
 
 
+def test_cyclegan_resident_eval_viz_single_window_files(tmp_path):
+    """Regression (round-5 review finding): the resident eval's
+    first-batch viz gather used eval_programs' default min_batch=2 and
+    raised 'no eval batches' when every test file yields a single
+    2*nc-frame window — the metric path (min_batch=1) handled the same
+    data fine."""
+    from extended_gan_tpu.data.synthetic import make_coastal_dataset
+    from extended_gan_tpu.train.cyclegan_driver import train as cg_train
+
+    # 8-frame files at nc=4 -> exactly one 8-frame window per file
+    data = make_coastal_dataset(str(tmp_path / "coastal"), n_train_files=2,
+                                n_test_files=2, frames_per_file=8,
+                                h=64, w=64)
+    _, history = cg_train(
+        data_location=data, epochs=1, train_batch_size=8,
+        test_batch_size=8, resident=True, megastep=2,
+        out_dir=str(tmp_path / "out"), seed=5,
+    )
+    assert np.isfinite(history.history["pred_mse"][-1])
+    assert os.path.exists(
+        os.path.join(str(tmp_path / "out"), "imgs", "pred.png"))
+
+
 @pytest.mark.slow
 def test_cyclegan_driver_resident_trains(tmp_path):
     """`python -m cycle_gan --resident` end-to-end (round-5 scope
